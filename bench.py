@@ -1,0 +1,161 @@
+"""End-to-end SVC inference benchmark on real TPU hardware.
+
+Measures the reference's headline workload (BASELINE.md): 44.1 kHz SVC
+inference = condition assembly -> 1000-timestep diffusion @ sampler_interval
+10 (100 WaveNet evals, UniPC) -> NSF-HiFiGAN vocoder -> waveform.
+
+Reports e2e RTF (seconds of audio generated per wall-clock second on one
+chip). The torch reference publishes no numbers (SURVEY.md §6); vs_baseline
+is RTF relative to real-time (1.0 = real-time synthesis).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from fish_diffusion_tpu.models import build_model
+    from fish_diffusion_tpu.models.vocoders import NsfHifiGAN, NsfHifiGANGenerator
+
+    SR = 44100
+    HOP = 512
+    BATCH = 4
+    FRAMES = 1024  # ~11.9 s of audio per sample
+    HIDDEN = 256
+
+    compute_dtype = jnp.bfloat16
+
+    model_cfg = dict(
+        type="DiffSinger",
+        diffusion=dict(
+            type="GaussianDiffusion",
+            mel_channels=128,
+            noise_schedule="linear",
+            timesteps=1000,
+            noise_loss="smoothed-l1",
+            denoiser=dict(
+                type="WaveNetDenoiser",
+                mel_channels=128,
+                d_encoder=HIDDEN,
+                residual_channels=512,
+                residual_layers=20,
+                dilation_cycle=4,
+                use_linear_bias=True,
+                dtype=compute_dtype,
+            ),
+            sampler_interval=10,
+            noise_predictor="unipc",
+            spec_min=[-5],
+            spec_max=[0],
+        ),
+        text_encoder=dict(
+            type="NaiveProjectionEncoder", input_size=256, output_size=HIDDEN
+        ),
+        speaker_encoder=dict(
+            type="NaiveProjectionEncoder",
+            input_size=10,
+            output_size=HIDDEN,
+            use_embedding=True,
+        ),
+        pitch_encoder=dict(
+            type="NaiveProjectionEncoder",
+            input_size=1,
+            output_size=HIDDEN,
+            use_embedding=False,
+            preprocessing="pitch_to_scale",
+        ),
+    )
+    model = build_model(model_cfg)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "speakers": jnp.zeros((BATCH,), jnp.int32),
+        "contents": jnp.asarray(
+            rng.standard_normal((BATCH, FRAMES, 256)), jnp.float32
+        ),
+        "mel": jnp.asarray(rng.uniform(-4, 0, (BATCH, FRAMES, 128)), jnp.float32),
+        "pitches": jnp.asarray(rng.uniform(80, 600, (BATCH, FRAMES)), jnp.float32),
+    }
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        speakers=batch["speakers"],
+        contents=batch["contents"],
+        mel=batch["mel"],
+        pitches=batch["pitches"],
+    )
+
+    # vocoder (random weights — cost model identical to trained weights)
+    vocoder = NsfHifiGAN(
+        sampling_rate=SR, mel_channels=128, hop_length=HOP, use_natural_log=False
+    )
+    vocoder.generator = NsfHifiGANGenerator(
+        num_mels=128,
+        sampling_rate=SR,
+        hop_size=HOP,
+        upsample_rates=(8, 8, 2, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4, 4),
+        upsample_initial_channel=512,
+        dtype=compute_dtype,
+    )
+    voc_params = vocoder.init_random(jax.random.PRNGKey(3), n_frames=8)
+
+    @jax.jit
+    def e2e(params, voc_params, batch, rng):
+        mel = model.apply(
+            {"params": params},
+            speakers=batch["speakers"],
+            contents=batch["contents"],
+            pitches=batch["pitches"],
+            method=model.sample,
+            rngs={"diffusion": rng},
+        )
+        wav = vocoder.generator.apply(
+            {"params": voc_params},
+            0.434294 * mel,
+            batch["pitches"],
+            rngs={"noise": jax.random.fold_in(rng, 1)},
+        )
+        return wav
+
+    params = variables["params"]
+
+    # warmup / compile
+    wav = e2e(params, voc_params, batch, jax.random.PRNGKey(10))
+    wav.block_until_ready()
+
+    n_iters = 5
+    start = time.perf_counter()
+    for i in range(n_iters):
+        wav = e2e(params, voc_params, batch, jax.random.PRNGKey(20 + i))
+    wav.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = n_iters * BATCH * FRAMES * HOP / SR
+    rtf = audio_seconds / elapsed
+    mel_fps = n_iters * BATCH * FRAMES / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "svc_e2e_rtf",
+                "value": round(rtf, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf, 3),
+                "mel_frames_per_sec_per_chip": round(mel_fps, 1),
+                "denoiser_evals": 100,
+                "batch": BATCH,
+                "frames": FRAMES,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

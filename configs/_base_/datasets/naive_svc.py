@@ -1,0 +1,28 @@
+# SVC dataset defaults. Parity with reference
+# configs/_base_/datasets/naive_svc.py.
+
+dataset = dict(
+    train=dict(
+        type="NaiveSVCDataset",
+        path="dataset/train",
+        speaker_id=0,
+    ),
+    valid=dict(
+        type="NaiveSVCDataset",
+        path="dataset/valid",
+        speaker_id=0,
+    ),
+)
+
+dataloader = dict(
+    train=dict(
+        batch_size=20,
+        shuffle=True,
+        num_workers=2,
+    ),
+    valid=dict(
+        batch_size=2,
+        shuffle=False,
+        num_workers=2,
+    ),
+)

@@ -1,0 +1,15 @@
+"""fish_diffusion_tpu — a TPU-native (JAX/XLA/Pallas/pjit) singing-voice
+conversion / synthesis / TTS framework with the capabilities of
+fishaudio/fish-diffusion, re-designed for TPU hardware.
+
+Layer map (mirrors reference SURVEY.md §1, built TPU-first):
+
+- ``ops``       — numeric/DSP kernels (STFT/mel, pitch transforms, schedules)
+- ``config``    — pytree configs with ``_base_`` inheritance + registries
+- ``models``    — denoisers, condition encoders, diffusion, vocoders (flax)
+- ``parallel``  — device mesh + sharding rules (GSPMD/pjit), no hand-written comm
+- ``training``  — jitted train steps, optimizers, EMA, checkpointing
+- ``datasets``  — npy-dict datasets with bucketed static-shape collation
+"""
+
+__version__ = "0.1.0"

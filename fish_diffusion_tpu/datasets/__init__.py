@@ -1,0 +1,17 @@
+from . import naive, wrappers  # noqa: F401  (register datasets)
+from .loader import DataLoader, build_loader_from_config
+from .utils import (
+    get_datasets_from_subfolder,
+    get_speaker_map_from_subfolder,
+    pad_and_stack,
+    transform_pipeline,
+)
+
+__all__ = [
+    "DataLoader",
+    "build_loader_from_config",
+    "get_datasets_from_subfolder",
+    "get_speaker_map_from_subfolder",
+    "pad_and_stack",
+    "transform_pipeline",
+]

@@ -1,0 +1,395 @@
+"""NSF-HiFiGAN vocoder (source-filter GAN), TPU-native.
+
+Capability parity with the reference
+``fish_diffusion/modules/vocoders/nsf_hifigan/models.py``:
+- ``SineGen`` (161-294): harmonic sine bank with cumulative phase + UV noise
+- ``SourceModuleHnNSF`` (297-350): tanh(linear) harmonic merge
+- ``Generator`` (353-448): mel conv-pre -> N x [ConvTranspose upsample +
+  f0-source conv add + resblock fan] -> tanh
+and the wrapper ``nsf_hifigan.py:17-106`` (spec2wav / wav2spec, natural-log
+vs log10 mel convention).
+
+TPU-first details:
+- channels-last [B, T, C]; convs lower to MXU GEMMs
+- phase accumulation uses ``jax.lax.associative_scan`` with modular addition
+  ``(a + b) mod 1`` — associative, so the scan is log-depth AND every partial
+  sum stays in [0, 1): exact phase for minutes-long audio where a raw float32
+  cumsum (the reference's approach, models.py:224-231) loses precision
+- weight-norm is folded at checkpoint-conversion time (the reference removes
+  it at load, models.py:440-448), so inference graphs are plain convs
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.mel import LogMelSpectrogram
+from ...ops.tensor import repeat_expand
+from ...registry import VOCODERS
+
+Dtype = Any
+LRELU_SLOPE = 0.1
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class Conv1d(nn.Module):
+    """Channels-last 1-D conv with torch-compatible symmetric padding."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = _get_padding(self.kernel_size, self.dilation)
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            dtype=self.dtype,
+        )(x)
+
+
+class ResBlock1(nn.Module):
+    """HiFiGAN ResBlock1 (reference models.py:27-116): 3 x (dilated conv +
+    plain conv) with leaky-relu pre-activations and residual adds."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, self.kernel_size, dilation=d,
+                dtype=self.dtype, name=f"convs1_{i}",
+            )(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, self.kernel_size, dilation=1,
+                dtype=self.dtype, name=f"convs2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """HiFiGAN ResBlock2 (reference models.py:119-158)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, self.kernel_size, dilation=d,
+                dtype=self.dtype, name=f"convs_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+def _mod1_phase_scan(rad: jax.Array) -> jax.Array:
+    """Exact fractional phase: associative scan of (a+b) mod 1 along time.
+
+    Equivalent to ``cumsum(rad) mod 1`` but every partial result stays in
+    [0, 1), so float32 never loses phase precision on long signals.
+    """
+    return jax.lax.associative_scan(lambda a, b: jnp.mod(a + b, 1.0), rad, axis=1)
+
+
+class SineGen(nn.Module):
+    """Harmonic sine generator (reference models.py:161-294).
+
+    f0: [B, T_samples, 1] (0 for unvoiced) ->
+    (sine_waves [B, T, harmonic_num+1], uv [B, T, 1], noise)
+    RNG stream: ``noise``.
+    """
+
+    samp_rate: int
+    harmonic_num: int = 0
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, f0: jax.Array):
+        dim = self.harmonic_num + 1
+        b, t = f0.shape[0], f0.shape[1]
+
+        harmonics = jnp.arange(1, dim + 1, dtype=jnp.float32)
+        f0_buf = f0 * harmonics[None, None, :]  # [B, T, dim]
+
+        rad_values = jnp.mod(f0_buf / self.samp_rate, 1.0)
+
+        # random initial phase per (batch, harmonic); none for the fundamental
+        rng_phase, rng_noise = jax.random.split(self.make_rng("noise"))
+        rand_ini = jax.random.uniform(rng_phase, (b, dim))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
+        rad_values = rad_values.at[:, 0, :].add(rand_ini)
+
+        phase = _mod1_phase_scan(rad_values)
+        sines = jnp.sin(2 * jnp.pi * phase) * self.sine_amp
+
+        uv = (f0 > self.voiced_threshold).astype(jnp.float32)
+        noise_amp = uv * self.noise_std + (1 - uv) * self.sine_amp / 3
+        noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
+
+        sine_waves = sines * uv + noise
+        return sine_waves, uv, noise
+
+
+class SourceModuleHnNSF(nn.Module):
+    """Harmonic merge: tanh(linear(sines)) (reference models.py:297-350)."""
+
+    sampling_rate: int
+    harmonic_num: int = 0
+    sine_amp: float = 0.1
+    add_noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        sine_wavs, uv, _ = SineGen(
+            self.sampling_rate,
+            self.harmonic_num,
+            self.sine_amp,
+            self.add_noise_std,
+            self.voiced_threshold,
+            name="l_sin_gen",
+        )(x)
+        sine_merge = jnp.tanh(
+            nn.Dense(1, name="l_linear")(sine_wavs)
+        )
+        noise = (
+            jax.random.normal(self.make_rng("noise"), uv.shape) * self.sine_amp / 3
+        )
+        return sine_merge, noise, uv
+
+
+@VOCODERS.register_module(name="NsfHifiGANGenerator")
+class NsfHifiGANGenerator(nn.Module):
+    """The NSF-HiFiGAN generator network (reference models.py:353-448).
+
+    Inputs: mel [B, T, num_mels] (channels-last), f0 [B, T].
+    Output: audio [B, T * hop_size].
+    """
+
+    num_mels: int = 128
+    sampling_rate: int = 44100
+    hop_size: int = 512
+    upsample_rates: Sequence[int] = (8, 8, 2, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jax.Array, f0: jax.Array):
+        assert mel.shape[-1] == self.num_mels
+        n_frames = mel.shape[1]
+        total_up = int(np.prod(self.upsample_rates))
+
+        # f0 frame-rate -> sample-rate, linear interp (reference models.py:411)
+        f0_samples = repeat_expand(
+            f0[:, None, :], n_frames * self.hop_size, mode="linear"
+        )[:, 0, :]
+
+        har_source, _, _ = SourceModuleHnNSF(
+            sampling_rate=self.sampling_rate,
+            harmonic_num=8,
+            name="m_source",
+        )(f0_samples[:, :, None])  # [B, T_samples, 1]
+
+        x = nn.Conv(
+            self.upsample_initial_channel,
+            kernel_size=(7,),
+            padding=[(3, 3)],
+            dtype=self.dtype,
+            name="conv_pre",
+        )(mel.astype(self.dtype))
+
+        res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        num_kernels = len(self.resblock_kernel_sizes)
+
+        for i, (u, k) in enumerate(
+            zip(self.upsample_rates, self.upsample_kernel_sizes)
+        ):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2):
+            # out_len = T*u. flax ConvTranspose with matching edge padding;
+            # transpose_kernel=True keeps torch weight-layout compatibility.
+            pad = (k - u) // 2
+            x = nn.ConvTranspose(
+                ch,
+                kernel_size=(k,),
+                strides=(u,),
+                padding=[(k - 1 - pad, k - 1 - pad)],
+                transpose_kernel=True,
+                dtype=self.dtype,
+                name=f"ups_{i}",
+            )(x)
+
+            # harmonic source injection at this scale
+            if i + 1 < len(self.upsample_rates):
+                stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
+                x_source = nn.Conv(
+                    ch,
+                    kernel_size=(stride_f0 * 2,),
+                    strides=(stride_f0,),
+                    padding=[(stride_f0 // 2, stride_f0 // 2)],
+                    dtype=self.dtype,
+                    name=f"noise_convs_{i}",
+                )(har_source.astype(self.dtype))
+            else:
+                x_source = nn.Conv(
+                    ch,
+                    kernel_size=(1,),
+                    dtype=self.dtype,
+                    name=f"noise_convs_{i}",
+                )(har_source.astype(self.dtype))
+
+            x = x + x_source
+
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                block = res_cls(
+                    ch,
+                    rk,
+                    tuple(rd),
+                    dtype=self.dtype,
+                    name=f"resblocks_{i * num_kernels + j}",
+                )(x)
+                xs = block if xs is None else xs + block
+            x = xs / num_kernels
+
+        x = nn.leaky_relu(x, 0.01)  # torch default slope (models.py:434)
+        x = nn.Conv(
+            1, kernel_size=(7,), padding=[(3, 3)], dtype=self.dtype,
+            name="conv_post",
+        )(x)
+        x = jnp.tanh(x)
+
+        return x[:, :, 0].astype(jnp.float32)
+
+
+@VOCODERS.register_module(name="NsfHifiGAN")
+class NsfHifiGAN:
+    """Inference wrapper with spec2wav / wav2spec
+    (reference ``nsf_hifigan.py:17-106``).
+
+    Holds converted generator params (see
+    ``tools/convert_nsf_hifigan_checkpoint.py``) and the mel transform with
+    the matching log convention.
+    """
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        sampling_rate: int = 44100,
+        mel_channels: int = 128,
+        n_fft: int = 2048,
+        win_length: int = 2048,
+        hop_length: int = 512,
+        f_min: float = 40.0,
+        f_max: float = 16000.0,
+        use_natural_log: bool = True,
+        generator_config: Optional[dict] = None,
+    ):
+        self.use_natural_log = use_natural_log
+        self.mel_transform = LogMelSpectrogram(
+            sample_rate=sampling_rate,
+            n_fft=n_fft,
+            win_length=win_length,
+            hop_length=hop_length,
+            f_min=f_min,
+            f_max=f_max,
+            n_mels=mel_channels,
+            use_natural_log=use_natural_log,
+        )
+
+        gen_cfg = dict(
+            num_mels=mel_channels,
+            sampling_rate=sampling_rate,
+            hop_size=hop_length,
+        )
+        if generator_config:
+            gen_cfg.update(generator_config)
+        self.generator = NsfHifiGANGenerator(**gen_cfg)
+
+        self.params = None
+        if checkpoint_path is not None:
+            self.load_checkpoint(checkpoint_path)
+
+        self._spec2wav = jax.jit(self._spec2wav_impl)
+
+    def load_checkpoint(self, path: str):
+        """Load params converted by tools/convert_nsf_hifigan_checkpoint.py."""
+        import pickle
+
+        with open(path, "rb") as f:
+            self.params = pickle.load(f)
+
+    def init_random(self, rng: jax.Array, n_frames: int = 32):
+        """Random init (for tests / training-from-scratch)."""
+        mel = jnp.zeros((1, n_frames, self.generator.num_mels))
+        f0 = jnp.full((1, n_frames), 220.0)
+        variables = self.generator.init(
+            {"params": rng, "noise": jax.random.fold_in(rng, 1)}, mel, f0
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def _spec2wav_impl(self, params, mel, f0, rng):
+        if self.use_natural_log:
+            mel_in = mel
+        else:
+            mel_in = 0.434294 * mel
+        return self.generator.apply(
+            {"params": params}, mel_in, f0, rngs={"noise": rng}
+        )
+
+    def spec2wav(self, mel: jax.Array, f0: jax.Array, rng: Optional[jax.Array] = None):
+        """mel [B, T, M] or [T, M], f0 [B, T] or [T] -> audio."""
+        assert self.params is not None, "vocoder has no parameters loaded"
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel, f0 = mel[None], f0[None]
+        wav = self._spec2wav(self.params, mel, f0, rng)
+        return wav[0] if squeeze else wav
+
+    def wav2spec(self, audio: jax.Array, key_shift: float = 0.0, speed: float = 1.0):
+        """audio [B, T] -> log-mel [B, T_frames, M] (channels-last)."""
+        mel = self.mel_transform.wav2spec(audio, key_shift=key_shift, speed=speed)
+        return jnp.swapaxes(mel, 1, 2)

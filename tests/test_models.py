@@ -1,0 +1,284 @@
+"""Model-layer tests: WaveNet denoiser structure, dilated-conv equivalence,
+diffusion math golden values, and sampler correctness via an analytic oracle.
+
+The oracle test: if the denoiser returns the *exact* noise
+``eps = (x_t - alpha_t * x0) / sigma_t`` for a fixed target ``x0``, then any
+correct reverse sampler (naive DDPM / PLMS / UniPC) must reconstruct ``x0``.
+This validates the whole scan machinery + precomputed coefficient tables
+without any trained weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from fish_diffusion_tpu.models.common import DilatedConvK3, shift_seq
+from fish_diffusion_tpu.models.diffusion import (
+    GaussianDiffusion,
+    ScheduleCoefficients,
+    mel_loss,
+)
+from fish_diffusion_tpu.models.wavenet import WaveNet
+from fish_diffusion_tpu.ops.schedule import get_noise_schedule_list
+from fish_diffusion_tpu.registry import DENOISERS
+
+MEL = 16
+T = 32
+B = 2
+
+
+class OracleDenoiser(nn.Module):
+    """Returns the exact noise for a fixed clean target x0 (test-only)."""
+
+    timesteps: int = 100
+    max_beta: float = 0.01
+
+    def setup(self):
+        betas = get_noise_schedule_list("linear", self.timesteps, self.max_beta)
+        acp = np.cumprod(1 - betas)
+        self._sqrt_acp = np.sqrt(acp).astype(np.float32)
+        self._sqrt_1macp = np.sqrt(1 - acp).astype(np.float32)
+        # the fixed clean signal (normalized space, within [-1, 1])
+        rng = np.random.default_rng(42)
+        self._x0 = (0.8 * rng.uniform(-1, 1, (1, T, MEL))).astype(np.float32)
+
+    def __call__(self, x, t, conditioner, x_masks=None, cond_masks=None):
+        # continuous t support (UniPC feeds float model times)
+        grid = jnp.arange(self.timesteps, dtype=jnp.float32)
+        sqrt_acp = jnp.interp(t.astype(jnp.float32), grid, jnp.asarray(self._sqrt_acp))
+        sqrt_1macp = jnp.interp(
+            t.astype(jnp.float32), grid, jnp.asarray(self._sqrt_1macp)
+        )
+        x0 = jnp.asarray(self._x0)
+        return (x - sqrt_acp[:, None, None] * x0) / jnp.maximum(
+            sqrt_1macp[:, None, None], 1e-6
+        )
+
+
+if "OracleDenoiser" not in DENOISERS:
+    DENOISERS.register_module(module=OracleDenoiser)
+
+
+def small_wavenet_config():
+    return dict(
+        type="WaveNetDenoiser",
+        mel_channels=MEL,
+        d_encoder=8,
+        residual_channels=16,
+        residual_layers=4,
+        dilation_cycle=2,
+        use_linear_bias=True,
+    )
+
+
+class TestShiftSeq:
+    def test_matches_manual(self):
+        x = jnp.arange(12.0).reshape(1, 6, 2)
+        out = shift_seq(x, jnp.int32(2))
+        np.testing.assert_array_equal(np.asarray(out[0, :2]), 0)
+        np.testing.assert_array_equal(np.asarray(out[0, 2:]), np.asarray(x[0, :4]))
+
+        out_neg = shift_seq(x, jnp.int32(-2))
+        np.testing.assert_array_equal(np.asarray(out_neg[0, 4:]), 0)
+        np.testing.assert_array_equal(np.asarray(out_neg[0, :4]), np.asarray(x[0, 2:]))
+
+
+class TestDilatedConv:
+    @pytest.mark.parametrize("dilation", [1, 2, 4])
+    def test_matches_xla_dilated_conv(self, dilation):
+        """Shift-matmul formulation == lax dilated conv with SAME padding."""
+        feats, cin = 6, 4
+        mod = DilatedConvK3(feats, use_bias=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, cin))
+        params = mod.init(jax.random.PRNGKey(1), x, jnp.int32(dilation))
+        ours = mod.apply(params, x, jnp.int32(dilation))
+
+        wl = params["params"]["w_left"]["kernel"]
+        wc = params["params"]["w_center"]["kernel"]
+        wr = params["params"]["w_right"]["kernel"]
+        # build [k=3, cin, cout] kernel; conv kernel position 0 sees x[t-d]
+        kernel = jnp.stack([wl, wc, wr], axis=0)
+        theirs = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(dilation, dilation)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), atol=1e-5, rtol=1e-5
+        )
+
+
+class TestWaveNet:
+    def test_shapes_and_zero_init_output(self):
+        cfg = small_wavenet_config()
+        cfg.pop("type")
+        model = WaveNet(**cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8))
+        t = jnp.array([5, 50])
+
+        params = model.init(jax.random.PRNGKey(2), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        assert out.shape == (B, T, MEL)
+        # final projection is zero-init -> output is exactly 0 at init
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_param_stacking(self):
+        cfg = small_wavenet_config()
+        cfg.pop("type")
+        model = WaveNet(**cfg)
+        x = jnp.zeros((1, T, MEL))
+        cond = jnp.zeros((1, T, 8))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.array([0]), cond)
+        # residual blocks are scanned: leading axis = n_layers
+        block = params["params"]["residual_layers"]
+        assert block["conv_layer"]["w_center"]["kernel"].shape[0] == 4
+
+    def test_mask_zeroes_padding(self):
+        cfg = small_wavenet_config()
+        cfg.pop("type")
+        model = WaveNet(**cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8))
+        t = jnp.array([5, 50])
+        masks = jnp.zeros((B, T), bool).at[:, T // 2 :].set(True)
+
+        params = model.init(jax.random.PRNGKey(2), x, t, cond)
+        out = model.apply(params, x, t, cond, x_masks=masks)
+        np.testing.assert_allclose(np.asarray(out[:, T // 2 :]), 0.0, atol=1e-6)
+
+
+class TestScheduleCoefficients:
+    def test_posterior_closed_form(self):
+        betas = get_noise_schedule_list("linear", 100)
+        c = ScheduleCoefficients(betas)
+        acp = np.cumprod(1 - betas)
+        np.testing.assert_allclose(c.alphas_cumprod, acp)
+        # t=0: posterior variance is 0, mean coef1 = 1
+        assert c.posterior_variance[0] == 0
+        np.testing.assert_allclose(c.posterior_mean_coef1[0], 1.0)
+
+    def test_q_sample_golden(self):
+        diff = GaussianDiffusion(
+            denoiser=dict(type="OracleDenoiser"),
+            mel_channels=MEL,
+            timesteps=100,
+            spec_min=[-1],
+            spec_max=[1],
+        )
+        x0 = jnp.ones((1, T, MEL)) * 0.5
+        noise = jnp.ones_like(x0) * 0.1
+        t = jnp.array([50])
+
+        variables = diff.init(
+            {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+            jnp.zeros((1, T, 8)),
+            x0,
+            method=diff.train_step,
+        )
+        out = diff.apply(variables, x0, t, noise, method=diff.q_sample)
+
+        betas = get_noise_schedule_list("linear", 100)
+        acp = np.cumprod(1 - betas)
+        expected = np.sqrt(acp[50]) * 0.5 + np.sqrt(1 - acp[50]) * 0.1
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+
+
+class TestMelLoss:
+    def test_variants(self):
+        a = jnp.zeros((2, 3))
+        b = jnp.ones((2, 3)) * 2.0
+        np.testing.assert_allclose(float(mel_loss("l1", a, b)), 2.0)
+        np.testing.assert_allclose(float(mel_loss("l2", a, b)), 4.0)
+        # smooth l1 with beta=1: |d|=2 -> 2 - 0.5
+        np.testing.assert_allclose(float(mel_loss("smoothed-l1", a, b)), 1.5)
+        # weighted list
+        np.testing.assert_allclose(
+            float(mel_loss([(0.5, "l1"), (0.25, "l2")], a, b)), 2.0
+        )
+
+
+class TestSamplers:
+    """Oracle-denoiser convergence for all three samplers."""
+
+    def _build(self, predictor, interval):
+        diff = GaussianDiffusion(
+            denoiser=dict(type="OracleDenoiser", timesteps=100),
+            mel_channels=MEL,
+            timesteps=100,
+            sampler_interval=interval,
+            noise_predictor=predictor,
+            spec_min=[-1],
+            spec_max=[1],
+        )
+        features = jnp.zeros((1, T, 8))
+        mel0 = jnp.zeros((1, T, MEL))
+        variables = diff.init(
+            {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+            features,
+            mel0,
+            method=diff.train_step,
+        )
+        return diff, variables, features
+
+    def _x0_target(self):
+        rng = np.random.default_rng(42)
+        return (0.8 * rng.uniform(-1, 1, (1, T, MEL))).astype(np.float32)
+
+    def test_naive_recovers_x0(self):
+        diff, variables, features = self._build("naive", 1)
+        out = diff.apply(
+            variables, features, rngs={"diffusion": jax.random.PRNGKey(7)}
+        )
+        # output is denormalized: x in [-1,1] normalized == raw here since
+        # spec_min/max = [-1, 1] => denorm(x) = x
+        np.testing.assert_allclose(
+            np.asarray(out), self._x0_target(), atol=5e-2
+        )
+
+    def test_plms_recovers_x0(self):
+        diff, variables, features = self._build("plms", 10)
+        out = diff.apply(
+            variables, features, rngs={"diffusion": jax.random.PRNGKey(7)}
+        )
+        # PLMS truncation error at 10 steps is ~0.06 with the exact oracle
+        np.testing.assert_allclose(np.asarray(out), self._x0_target(), atol=1e-1)
+
+    def test_unipc_recovers_x0(self):
+        diff, variables, features = self._build("unipc", 10)
+        out = diff.apply(
+            variables, features, rngs={"diffusion": jax.random.PRNGKey(7)}
+        )
+        # order-2 truncation error at 10 steps is ~0.055 with the exact oracle
+        np.testing.assert_allclose(np.asarray(out), self._x0_target(), atol=8e-2)
+
+    def test_shallow_diffusion_warm_start(self):
+        diff, variables, features = self._build("naive", 1)
+        x0 = jnp.asarray(self._x0_target())
+        out = diff.apply(
+            variables,
+            features,
+            skip_steps=70,
+            original_mel=x0,
+            rngs={"diffusion": jax.random.PRNGKey(7)},
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-2)
+
+    def test_train_step_loss_positive(self):
+        diff, variables, features = self._build("naive", 1)
+        mel = jnp.asarray(self._x0_target())
+        out = diff.apply(
+            variables,
+            features,
+            mel,
+            method=diff.train_step,
+            rngs={"diffusion": jax.random.PRNGKey(3)},
+        )
+        # oracle denoiser predicts the true noise only for ITS x0; loss is
+        # just finite and nonnegative here
+        assert np.isfinite(float(out["loss"]))

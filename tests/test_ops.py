@@ -1,0 +1,227 @@
+"""Unit tests for the DSP op layer: STFT/mel parity vs torch.stft, pitch
+transform math, schedule closed forms, tensor resampling vs torch.
+
+The reference has no such tests (SURVEY.md §4) — this is the floor->ceiling
+upgrade the rebuild commits to.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fish_diffusion_tpu.ops import (
+    LogMelSpectrogram,
+    dynamic_range_compression,
+    get_mask_from_lengths,
+    get_noise_schedule_list,
+    interpolate,
+    mel_filter_bank,
+    pitch_to_coarse,
+    pitch_to_log,
+    pitch_to_scale,
+    repeat_expand,
+    stft_magnitude,
+)
+
+torch = pytest.importorskip("torch")
+
+
+class TestSTFT:
+    def test_matches_torch_stft_center_false(self):
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal((2, 8192)).astype(np.float32)
+
+        n_fft, hop, win = 1024, 256, 1024
+        ours = np.asarray(stft_magnitude(jnp.asarray(y), n_fft, hop, win))
+
+        ty = torch.from_numpy(y)
+        spec = torch.stft(
+            ty,
+            n_fft,
+            hop_length=hop,
+            win_length=win,
+            window=torch.hann_window(win),
+            center=False,
+            return_complex=True,
+        )
+        theirs = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-9).numpy()
+
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+    def test_win_shorter_than_nfft(self):
+        rng = np.random.default_rng(1)
+        y = rng.standard_normal((1, 4096)).astype(np.float32)
+
+        n_fft, hop, win = 1024, 256, 512
+        ours = np.asarray(stft_magnitude(jnp.asarray(y), n_fft, hop, win))
+
+        ty = torch.from_numpy(y)
+        spec = torch.stft(
+            ty,
+            n_fft,
+            hop_length=hop,
+            win_length=win,
+            window=torch.hann_window(win),
+            center=False,
+            return_complex=True,
+        )
+        theirs = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-9).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+class TestMelFilterBank:
+    def test_shape_and_norm(self):
+        fb = mel_filter_bank(44100, 2048, 128, 40.0, 16000.0)
+        assert fb.shape == (128, 1025)
+        # every filter is a normalized triangle: nonneg, single peak, nonzero
+        assert (fb >= 0).all()
+        assert (fb.sum(axis=1) > 0).all()
+        # slaney norm: peak amplitude ~= 2/bandwidth -> filters with wider
+        # bands (higher freq) have lower peaks
+        peaks = fb.max(axis=1)
+        assert peaks[0] > peaks[-1]
+
+    def test_band_centers_monotonic(self):
+        fb = mel_filter_bank(44100, 2048, 128, 40.0, 16000.0)
+        centers = fb.argmax(axis=1)
+        assert (np.diff(centers) >= 0).all()
+        freqs = np.linspace(0, 22050, 1025)
+        assert freqs[centers[0]] >= 30.0
+        assert freqs[centers[-1]] <= 16000.0
+
+
+class TestLogMel:
+    def test_frame_count_matches_reference_convention(self):
+        # reference pads (win-hop)/2 both sides with center=False:
+        # frames = (T + (win-hop) - win)//hop + 1 = T//hop (when hop | T)
+        mel = LogMelSpectrogram(44100, 2048, 2048, 512, 40, 16000, 128)
+        y = jnp.zeros((1, 512 * 100))
+        out = mel.wav2spec(y)
+        assert out.shape == (1, 128, 100)
+
+    def test_silence_hits_log_floor(self):
+        mel = LogMelSpectrogram(use_natural_log=True)
+        out = mel.wav2spec(jnp.zeros((1, 51200)))
+        # dynamic_range_compression clamps at 1e-5 -> log(1e-5)
+        assert np.allclose(np.asarray(out), np.log(1e-5), atol=0.3)
+
+    def test_log10_convention(self):
+        mel = LogMelSpectrogram(use_natural_log=False)
+        mel_ln = LogMelSpectrogram(use_natural_log=True)
+        y = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 51200)).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(mel.wav2spec(y)),
+            np.asarray(mel_ln.wav2spec(y)) * 0.434294,
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+    def test_key_shift_changes_spectrum_not_shape(self):
+        mel = LogMelSpectrogram()
+        y = jnp.asarray(
+            np.sin(2 * np.pi * 440 * np.arange(51200) / 44100).astype(np.float32)
+        )[None]
+        a = mel.wav2spec(y)
+        b = mel.wav2spec(y, key_shift=2)
+        # mel bin count is preserved; frame count may differ by 1 when the
+        # scaled FFT size rounds to an odd value (same as reference torch.stft)
+        assert a.shape[:2] == b.shape[:2]
+        n = min(a.shape[-1], b.shape[-1])
+        assert not np.allclose(np.asarray(a[..., :n]), np.asarray(b[..., :n]))
+
+
+class TestPitchTransforms:
+    def test_pitch_to_scale(self):
+        f0 = jnp.asarray([[0.0, 50.0, 575.0, 1100.0, 2000.0]])
+        out = np.asarray(pitch_to_scale(f0))
+        assert out.shape == (1, 5, 1)
+        np.testing.assert_allclose(out[0, :, 0], [0, 0, 0.5, 1, 1], atol=1e-6)
+
+    def test_pitch_to_log(self):
+        f0 = jnp.asarray([[0.0, 2.0, 8.0]])
+        out = np.asarray(pitch_to_log(f0))
+        np.testing.assert_allclose(out[0, :, 0], [0, 1, 3], atol=1e-6)
+
+    def test_pitch_to_coarse_range(self):
+        f0 = jnp.asarray([0.0, 50.0, 440.0, 1100.0])
+        out = np.asarray(pitch_to_coarse(f0))
+        assert out.min() >= 1 and out.max() <= 255
+        assert out[0] == 1  # unvoiced to bin 1
+
+
+class TestSchedules:
+    def test_linear(self):
+        s = get_noise_schedule_list("linear", 1000, max_beta=0.01)
+        assert s.shape == (1000,)
+        assert np.isclose(s[0], 1e-4) and np.isclose(s[-1], 0.01)
+
+    def test_cosine_properties(self):
+        s = get_noise_schedule_list("cosine", 1000)
+        assert s.shape == (1000,)
+        assert (s >= 0).all() and (s <= 0.999).all()
+        acp = np.cumprod(1 - s)
+        assert acp[-1] < 1e-3  # fully noised at the end
+
+    def test_unknown_raises(self):
+        with pytest.raises(NotImplementedError):
+            get_noise_schedule_list("nope", 10)
+
+
+class TestTensorOps:
+    def test_repeat_expand_nearest_matches_torch(self):
+        x = np.random.default_rng(3).standard_normal((4, 37)).astype(np.float32)
+        ours = np.asarray(repeat_expand(jnp.asarray(x), 100, mode="nearest"))
+        theirs = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(x)[None], size=100, mode="nearest"
+            )[0]
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs)
+
+    def test_repeat_expand_linear_matches_torch(self):
+        x = np.random.default_rng(4).standard_normal((2, 53)).astype(np.float32)
+        ours = np.asarray(repeat_expand(jnp.asarray(x), 200, mode="linear"))
+        theirs = (
+            torch.nn.functional.interpolate(
+                torch.from_numpy(x)[None], size=200, mode="linear",
+                align_corners=False,
+            )[0]
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_repeat_expand_1d(self):
+        x = jnp.arange(5.0)
+        out = repeat_expand(x, 10)
+        assert out.shape == (10,)
+
+    def test_interpolate_matches_numpy(self):
+        xp = jnp.asarray([0.0, 1.0, 2.0, 5.0])
+        fp = jnp.asarray([0.0, 10.0, 20.0, 50.0])
+        x = jnp.asarray([-1.0, 0.5, 1.5, 3.0, 6.0])
+        ours = np.asarray(interpolate(x, xp, fp))
+        theirs = np.interp(np.asarray(x), np.asarray(xp), np.asarray(fp))
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+class TestMasking:
+    def test_mask(self):
+        m = np.asarray(get_mask_from_lengths(jnp.asarray([2, 4]), 5))
+        expected = np.array(
+            [
+                [False, False, True, True, True],
+                [False, False, False, False, True],
+            ]
+        )
+        np.testing.assert_array_equal(m, expected)
+
+
+class TestDynamicRange:
+    def test_compression_floor(self):
+        out = np.asarray(dynamic_range_compression(jnp.asarray([0.0, 1.0, np.e])))
+        np.testing.assert_allclose(out, [np.log(1e-5), 0.0, 1.0], atol=1e-4)
