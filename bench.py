@@ -126,15 +126,16 @@ def main():
 
     params = variables["params"]
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the axon tunnel block_until_ready does not
+    # actually synchronize — force a host transfer to time real execution.
     wav = e2e(params, voc_params, batch, jax.random.PRNGKey(10))
-    wav.block_until_ready()
+    _ = np.asarray(wav[:, :8])
 
     n_iters = 5
     start = time.perf_counter()
     for i in range(n_iters):
         wav = e2e(params, voc_params, batch, jax.random.PRNGKey(20 + i))
-    wav.block_until_ready()
+        _ = np.asarray(wav[:, :8])  # sync point
     elapsed = time.perf_counter() - start
 
     audio_seconds = n_iters * BATCH * FRAMES * HOP / SR

@@ -1,0 +1,15 @@
+from . import energy, feature, pitch  # noqa: F401  (register extractors)
+from .feature import BaseFeatureExtractor, ContentVec, HubertEncoder, HubertSoft
+from .energy import RMSEnergyExtractor
+from .pitch import (
+    AutocorrPitchExtractor,
+    BasePitchExtractor,
+    YinPitchExtractor,
+)
+
+__all__ = [
+    "AutocorrPitchExtractor",
+    "BasePitchExtractor",
+    "RMSEnergyExtractor",
+    "YinPitchExtractor",
+]

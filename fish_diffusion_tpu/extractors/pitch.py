@@ -1,0 +1,318 @@
+"""Pitch (f0) extractors, TPU-native.
+
+Capability parity with the reference
+``fish_diffusion/modules/pitch_extractors/``:
+- ``BasePitchExtractor`` post-processing (builder.py:37-63): repeat_expand to
+  the mel frame count + optional zero-removal by linear interpolation over
+  time
+- extractor family: the reference wraps CPU libraries (praat parselmouth,
+  pyworld harvest/dio, librosa pyin, torchcrepe). None of those exist in
+  this image and none map to TPU — so the extractors here are *native
+  batched JAX implementations* of the same algorithms:
+
+  - ``YinPitchExtractor``      — YIN (de Cheveigné & Kawahara 2002):
+    FFT-based difference function + cumulative-mean normalization +
+    absolute-threshold dip picking + parabolic interpolation. This is the
+    same core as librosa's pyin (minus the HMM smoothing).
+  - ``AutocorrPitchExtractor`` — praat-style normalized autocorrelation
+    (Boersma 1993 ``to_pitch_ac`` family): hann-windowed frame ACF divided
+    by the window ACF, peak picking with a voicing threshold.
+
+  Legacy registry names (ParselMouth/Harvest/Dio/Pyin/Crepe) are registered
+  as aliases onto these so reference configs run unchanged; the docstring of
+  each alias states the substitution.
+
+Everything runs batched on device: frames are cut with a strided reshape,
+ACFs are batched real FFTs — one jit per (sr, length-bucket).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tensor import interpolate, repeat_expand
+from ..registry import PITCH_EXTRACTORS
+
+
+class BasePitchExtractor:
+    def __init__(
+        self,
+        hop_length: int = 512,
+        f0_min: float = 50.0,
+        f0_max: float = 1100.0,
+        keep_zeros: bool = True,
+    ):
+        self.hop_length = hop_length
+        self.f0_min = f0_min
+        self.f0_max = f0_max
+        self.keep_zeros = keep_zeros
+
+    def __call__(self, x, sampling_rate=44100, pad_to=None):
+        raise NotImplementedError
+
+    def post_process(self, x, sampling_rate, f0, pad_to):
+        """reference builder.py:37-63 semantics."""
+        f0 = np.asarray(f0, np.float32)
+
+        if pad_to is None:
+            return f0
+
+        f0 = np.asarray(repeat_expand(jnp.asarray(f0), pad_to))
+
+        if self.keep_zeros:
+            return f0
+
+        nzindex = np.nonzero(f0)[0]
+        f0_nz = f0[nzindex]
+        if len(f0_nz) == 0:
+            return np.zeros(pad_to, np.float32)
+        if len(f0_nz) == 1:
+            return np.full(pad_to, f0_nz[0], np.float32)
+
+        time_org = self.hop_length / sampling_rate * nzindex
+        time_frame = np.arange(pad_to) * self.hop_length / sampling_rate
+
+        return np.asarray(
+            interpolate(
+                jnp.asarray(time_frame),
+                jnp.asarray(time_org),
+                jnp.asarray(f0_nz),
+                left=f0_nz[0],
+                right=f0_nz[-1],
+            )
+        )
+
+
+def _frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
+    """[T] -> [n_frames, frame_length], centered (reflect pad)."""
+    pad = frame_length // 2
+    x = jnp.pad(x, (pad, pad), mode="reflect")
+    n_frames = 1 + (x.shape[0] - frame_length) // hop_length
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(frame_length)[None, :]
+    )
+    return x[idx]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _yin_f0(
+    x: jax.Array,
+    sampling_rate: int,
+    frame_length: int,
+    hop_length: int,
+    f0_min: float,
+    f0_max: float,
+    threshold: float = 0.15,
+):
+    """Batched YIN. x: [T] -> f0 [n_frames] (0 = unvoiced)."""
+    frames = _frame_signal(x, frame_length, hop_length)
+    n_frames, W = frames.shape
+    tau_max = min(int(sampling_rate / f0_min) + 1, W // 2)
+    tau_min = max(int(sampling_rate / f0_max), 1)
+
+    # difference function via autocorrelation:
+    # d(tau) = e(0..W-tau-1) + e(tau..W-1) - 2*acf(tau)
+    half = W // 2
+    fft = jnp.fft.rfft(frames, n=2 * W, axis=-1)
+    acf = jnp.fft.irfft(fft * jnp.conj(fft), axis=-1)[:, : half + 1]
+
+    sq = frames * frames
+    # cumulative energies
+    csum = jnp.concatenate(
+        [jnp.zeros((n_frames, 1)), jnp.cumsum(sq, axis=-1)], axis=-1
+    )
+    total = csum[:, W][:, None]
+    taus = jnp.arange(half + 1)
+    # energy of x[0..W-tau-1] and x[tau..W-1]
+    e_head = jnp.take_along_axis(csum, (W - taus)[None, :].repeat(n_frames, 0), axis=1)
+    e_tail = total - jnp.take_along_axis(
+        csum, taus[None, :].repeat(n_frames, 0), axis=1
+    )
+    d = e_head + e_tail - 2 * acf
+
+    # cumulative mean normalized difference
+    cum = jnp.cumsum(d[:, 1:], axis=-1)
+    cmnd = jnp.concatenate(
+        [jnp.ones((n_frames, 1)), d[:, 1:] * taus[1:][None, :] / jnp.maximum(cum, 1e-9)],
+        axis=-1,
+    )
+
+    # valid tau band
+    band = (taus >= tau_min) & (taus < tau_max)
+    cmnd_band = jnp.where(band[None, :], cmnd, jnp.inf)
+
+    # first local minimum below threshold (walk down into the dip — taking
+    # the raw threshold crossing would bias f0 sharp), else global min
+    next_val = jnp.concatenate(
+        [cmnd_band[:, 1:], jnp.full((n_frames, 1), jnp.inf)], axis=-1
+    )
+    below = (cmnd_band < threshold) & (cmnd_band <= next_val)
+    any_below = below.any(axis=-1)
+    first_below = jnp.argmax(below, axis=-1)
+    global_min = jnp.argmin(cmnd_band, axis=-1)
+    tau_star = jnp.where(any_below, first_below, global_min)
+
+    # parabolic interpolation around tau_star
+    t0 = jnp.clip(tau_star - 1, 0, half)
+    t2 = jnp.clip(tau_star + 1, 0, half)
+    idx = jnp.arange(n_frames)
+    y0, y1, y2 = cmnd[idx, t0], cmnd[idx, tau_star], cmnd[idx, t2]
+    denom = y0 - 2 * y1 + y2
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    offset = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (y0 - y2) / safe, 0.0)
+    offset = jnp.clip(offset, -1.0, 1.0)
+    tau_refined = tau_star + offset
+
+    f0 = sampling_rate / jnp.maximum(tau_refined, 1e-6)
+
+    # voicing decision: frame must have a dip below threshold OR a clear
+    # minimum; silent frames (tiny energy) are unvoiced
+    frame_rms = jnp.sqrt(jnp.mean(sq, axis=-1))
+    voiced = any_below & (frame_rms > 1e-4)
+    f0 = jnp.where(voiced, f0, 0.0)
+    f0 = jnp.where((f0 >= f0_min) & (f0 <= f0_max), f0, 0.0)
+    return f0
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _autocorr_f0(
+    x: jax.Array,
+    sampling_rate: int,
+    frame_length: int,
+    hop_length: int,
+    f0_min: float,
+    f0_max: float,
+    voicing_threshold: float = 0.45,
+):
+    """Praat-style normalized-ACF pitch. x: [T] -> f0 [n_frames]."""
+    frames = _frame_signal(x, frame_length, hop_length)
+    n_frames, W = frames.shape
+    tau_max = min(int(sampling_rate / f0_min) + 1, W // 2)
+    tau_min = max(int(sampling_rate / f0_max), 1)
+    half = W // 2
+
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    window = jnp.asarray(np.hanning(W).astype(np.float32))
+    wframes = frames * window[None, :]
+
+    fft = jnp.fft.rfft(wframes, n=2 * W, axis=-1)
+    acf = jnp.fft.irfft(fft * jnp.conj(fft), axis=-1)[:, : half + 1]
+    acf_norm = acf / jnp.maximum(acf[:, :1], 1e-9)
+
+    # divide out the window's own autocorrelation (Boersma's correction)
+    wfft = jnp.fft.rfft(window, n=2 * W)
+    wacf = jnp.fft.irfft(wfft * jnp.conj(wfft))[: half + 1]
+    wacf_norm = wacf / jnp.maximum(wacf[0], 1e-9)
+    r = acf_norm / jnp.maximum(wacf_norm[None, :], 1e-3)
+
+    taus = jnp.arange(half + 1)
+    band = (taus >= tau_min) & (taus < tau_max)
+    # praat octave cost: penalize longer lags so the fundamental beats its
+    # subharmonics (score = r - cost * log2(f0_min * tau / sr))
+    octave_cost = 0.01
+    lag_sec = jnp.maximum(taus, 1) / sampling_rate
+    score = r - octave_cost * jnp.log2(jnp.maximum(f0_min * lag_sec, 1e-9))
+    score_band = jnp.where(band[None, :], score, -jnp.inf)
+
+    tau_star = jnp.argmax(score_band, axis=-1)
+    idx = jnp.arange(n_frames)
+    r_star = r[idx, tau_star]
+
+    # parabolic refinement
+    t0 = jnp.clip(tau_star - 1, 0, half)
+    t2 = jnp.clip(tau_star + 1, 0, half)
+    y0, y1, y2 = r[idx, t0], r[idx, tau_star], r[idx, t2]
+    denom = y0 - 2 * y1 + y2
+    offset = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    offset = jnp.clip(offset, -1.0, 1.0)
+    tau_refined = jnp.maximum(tau_star + offset, 1e-6)
+
+    f0 = sampling_rate / tau_refined
+    frame_rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    voiced = (r_star > voicing_threshold) & (frame_rms > 1e-4)
+    f0 = jnp.where(voiced, f0, 0.0)
+    f0 = jnp.where((f0 >= f0_min) & (f0 <= f0_max), f0, 0.0)
+    return f0
+
+
+@PITCH_EXTRACTORS.register_module()
+class YinPitchExtractor(BasePitchExtractor):
+    """Batched on-device YIN (see module docstring)."""
+
+    def __init__(self, frame_length: int = 2048, threshold: float = 0.15, **kwargs):
+        super().__init__(**kwargs)
+        self.frame_length = frame_length
+        self.threshold = threshold
+
+    def __call__(self, x, sampling_rate=44100, pad_to=None):
+        x = jnp.asarray(x, jnp.float32).reshape(-1)
+        f0 = _yin_f0(
+            x,
+            int(sampling_rate),
+            self.frame_length,
+            self.hop_length,
+            float(self.f0_min),
+            float(self.f0_max),
+            float(self.threshold),
+        )
+        return self.post_process(x, sampling_rate, f0, pad_to)
+
+
+@PITCH_EXTRACTORS.register_module()
+class AutocorrPitchExtractor(BasePitchExtractor):
+    """Praat-style normalized-ACF pitch (see module docstring)."""
+
+    def __init__(
+        self, frame_length: int = 2048, voicing_threshold: float = 0.45, **kwargs
+    ):
+        super().__init__(**kwargs)
+        self.frame_length = frame_length
+        self.voicing_threshold = voicing_threshold
+
+    def __call__(self, x, sampling_rate=44100, pad_to=None):
+        x = jnp.asarray(x, jnp.float32).reshape(-1)
+        f0 = _autocorr_f0(
+            x,
+            int(sampling_rate),
+            self.frame_length,
+            self.hop_length,
+            float(self.f0_min),
+            float(self.f0_max),
+            float(self.voicing_threshold),
+        )
+        return self.post_process(x, sampling_rate, f0, pad_to)
+
+
+# -- legacy-name aliases (reference configs run unchanged) ------------------
+
+
+@PITCH_EXTRACTORS.register_module(name="ParselMouthPitchExtractor")
+class ParselMouthPitchExtractor(AutocorrPitchExtractor):
+    """Alias: praat ``to_pitch_ac`` equivalent, implemented natively in JAX
+    (the praat/parselmouth C library is replaced by the batched ACF above)."""
+
+
+@PITCH_EXTRACTORS.register_module(name="HarvestPitchExtractor")
+class HarvestPitchExtractor(AutocorrPitchExtractor):
+    """Alias for pyworld Harvest configs -> native ACF extractor."""
+
+
+@PITCH_EXTRACTORS.register_module(name="DioPitchExtractor")
+class DioPitchExtractor(AutocorrPitchExtractor):
+    """Alias for pyworld DIO configs -> native ACF extractor."""
+
+
+@PITCH_EXTRACTORS.register_module(name="PyinPitchExtractor")
+class PyinPitchExtractor(YinPitchExtractor):
+    """Alias for librosa pyin configs -> native YIN extractor."""
+
+
+@PITCH_EXTRACTORS.register_module(name="CrepePitchExtractor")
+class CrepePitchExtractor(YinPitchExtractor):
+    """Alias for torchcrepe configs -> native YIN extractor (a learned CREPE
+    port needs its released weights, which require network access)."""

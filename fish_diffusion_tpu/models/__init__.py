@@ -1,4 +1,4 @@
-from . import encoders, wavenet  # noqa: F401  (register modules)
+from . import convnext, encoders, fast_speech, wavenet  # noqa: F401
 from . import vocoders  # noqa: F401
 from .diffusion import GaussianDiffusion  # noqa: F401
 from .diffsinger import DiffSinger  # noqa: F401

@@ -128,6 +128,40 @@ class QuantizedPitchEncoder(nn.Module):
 
 
 @ENCODERS.register_module()
+class TransformerEncoder(nn.Module):
+    """Plain transformer encoder wrapper
+    (reference ``modules/encoders/transformer.py:7``): input projection +
+    N post-norm self-attention layers."""
+
+    input_size: int
+    output_size: int
+    num_layers: int = 4
+    num_heads: int = 4
+    dim_feedforward: int = 1024
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, masks=None):
+        x = nn.Dense(self.output_size, dtype=self.dtype, name="input_proj")(
+            x.astype(self.dtype)
+        )
+        attn_mask = None
+        if masks is not None:
+            attn_mask = (~masks)[:, None, None, :]
+
+        for i in range(self.num_layers):
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype, name=f"attn_{i}"
+            )(x, x, x, mask=attn_mask)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"norm1_{i}")(x + y)
+            y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name=f"ff1_{i}")(x)
+            y = nn.relu(y)
+            y = nn.Dense(self.output_size, dtype=self.dtype, name=f"ff2_{i}")(y)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"norm2_{i}")(x + y)
+        return x
+
+
+@ENCODERS.register_module()
 class SimilarClusterEncoder(nn.Module):
     """Learnable cluster-snap encoder
     (reference ``modules/encoders/similar_cluster.py:10``): inputs are

