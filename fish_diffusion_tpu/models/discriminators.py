@@ -1,0 +1,325 @@
+"""GAN discriminators + losses, TPU-native.
+
+Capability parity with the reference:
+- ``MultiPeriodDiscriminator`` (nsf_hifigan/models.py:525-548 and the
+  configurable-channel refinegan/mpd.py:9-91)
+- ``MultiScaleDiscriminator`` (nsf_hifigan/models.py:550-613)
+- ``MultiResolutionDiscriminator`` over STFT magnitudes (refinegan/mrd.py)
+- loss functions: LSGAN discriminator/generator losses, feature-matching
+  loss (models.py:616-649), multi-scale STFT loss, multi-scale mel loss,
+  envelope loss (hifisinger_v2.py:89-115)
+
+Notes:
+- weight-norm via flax ``nn.WeightNorm``; the reference's one
+  spectral-norm instance (first MSD discriminator, models.py:594) is
+  replaced by weight-norm (flax SpectralNorm needs mutable power-iteration
+  state that does not fit a pure jitted two-player step; dynamics are close)
+- ``nan_to_num`` guards from the reference are unnecessary under f32
+  discriminators (we keep discriminators in f32 as the reference keeps GAN
+  training at "32-true" precision, configs/svc_hifisinger_v2.py:112)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.mel import LogMelSpectrogram, stft_magnitude
+
+Dtype = Any
+
+
+def _wn_conv2d(features, kernel, stride, padding, name):
+    conv = nn.Conv(
+        features,
+        kernel_size=kernel,
+        strides=stride,
+        padding=padding,
+        kernel_init=nn.initializers.normal(0.01),
+        name=f"{name}_conv",
+    )
+    return nn.WeightNorm(conv, name=name)
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (reference refinegan/mpd.py:9-66): fold the
+    waveform into [T/p, p] and run strided 2-D convs."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    channels: Optional[Sequence[int]] = None
+    leaky_relu_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, T] -> (score [B, N], fmap list)."""
+        channels = list(self.channels or [1, 32, 128, 512, 1024, 1024])
+
+        b, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
+
+        fmap = []
+        h = x
+        for i, ch in enumerate(channels[1:]):
+            stride = (self.stride, 1) if i < len(channels) - 2 else (1, 1)
+            h = _wn_conv2d(
+                ch,
+                (self.kernel_size, 1),
+                stride,
+                [(self.kernel_size // 2, self.kernel_size // 2), (0, 0)],
+                f"convs_{i}",
+            )(h)
+            h = nn.leaky_relu(h, self.leaky_relu_slope)
+            fmap.append(h)
+
+        h = _wn_conv2d(1, (3, 1), (1, 1), [(1, 1), (0, 0)], "conv_post")(h)
+        fmap.append(h)
+        return h.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, x):
+        scores, fmaps = [], []
+        for p in self.periods:
+            s, f = DiscriminatorP(p, channels=self.channels, name=f"disc_p{p}")(x)
+            scores.append(s)
+            fmaps.append(f)
+        return scores, fmaps
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (reference models.py:551-583): grouped 1-D convs."""
+
+    leaky_relu_slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, T] -> (score, fmap)."""
+        h = x[:, :, None]
+        specs = [
+            # (ch, k, stride, groups, pad)
+            (128, 15, 1, 1, 7),
+            (128, 41, 2, 4, 20),
+            (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20),
+            (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        fmap = []
+        for i, (ch, k, s, g, p) in enumerate(specs):
+            conv = nn.Conv(
+                ch,
+                kernel_size=(k,),
+                strides=(s,),
+                padding=[(p, p)],
+                feature_group_count=g,
+                kernel_init=nn.initializers.normal(0.01),
+                name=f"convs_{i}_conv",
+            )
+            h = nn.WeightNorm(conv, name=f"convs_{i}")(h)
+            h = nn.leaky_relu(h, self.leaky_relu_slope)
+            fmap.append(h)
+
+        conv = nn.Conv(
+            1, kernel_size=(3,), padding=[(1, 1)],
+            kernel_init=nn.initializers.normal(0.01), name="conv_post_conv",
+        )
+        h = nn.WeightNorm(conv, name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """reference models.py:586-613: 3 scales with x2 average pooling."""
+
+    @nn.compact
+    def __call__(self, x):
+        scores, fmaps = [], []
+        h = x
+        for i in range(3):
+            if i != 0:
+                # AvgPool1d(4, 2, padding=2)
+                padded = jnp.pad(h, ((0, 0), (2, 2)))
+                h = nn.avg_pool(
+                    padded[:, :, None], (4,), strides=(2,), padding="VALID"
+                )[:, :, 0]
+            s, f = DiscriminatorS(name=f"disc_s{i}")(h)
+            scores.append(s)
+            fmaps.append(f)
+        return scores, fmaps
+
+
+class DiscriminatorR(nn.Module):
+    """Resolution discriminator over STFT magnitude (reference mrd.py:7-77)."""
+
+    n_fft: int = 1024
+    hop_length: int = 120
+    win_length: int = 600
+    leaky_relu_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, T] -> (score, fmap)."""
+        pad = (self.n_fft - self.hop_length) // 2
+        y = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        mag = stft_magnitude(
+            y, self.n_fft, self.hop_length, self.win_length, center=False, eps=0.0
+        )  # [B, F, TT]
+        h = jnp.swapaxes(mag, 1, 2)[..., None]  # [B, TT, F, 1] NHWC
+
+        fmap = []
+        specs = [
+            (32, (3, 9), (1, 1), [(1, 1), (4, 4)]),
+            (32, (3, 9), (1, 2), [(1, 1), (4, 4)]),
+            (32, (3, 9), (1, 2), [(1, 1), (4, 4)]),
+            (32, (3, 9), (1, 2), [(1, 1), (4, 4)]),
+            (32, (3, 3), (1, 1), [(1, 1), (1, 1)]),
+        ]
+        for i, (ch, k, s, p) in enumerate(specs):
+            h = _wn_conv2d(ch, k, s, p, f"convs_{i}")(h)
+            h = nn.leaky_relu(h, self.leaky_relu_slope)
+            fmap.append(h)
+
+        h = _wn_conv2d(1, (3, 3), (1, 1), [(1, 1), (1, 1)], "conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiResolutionDiscriminator(nn.Module):
+    resolutions: Sequence[Tuple[int, int, int]] = (
+        (1024, 120, 600),
+        (2048, 240, 1200),
+        (512, 50, 240),
+    )
+
+    @nn.compact
+    def __call__(self, x):
+        scores, fmaps = [], []
+        for n_fft, hop, win in self.resolutions:
+            s, f = DiscriminatorR(
+                n_fft, hop, win, name=f"disc_r{n_fft}_{hop}"
+            )(x)
+            scores.append(s)
+            fmaps.append(f)
+        return scores, fmaps
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def discriminator_loss(real_scores, fake_scores, average: bool = False):
+    """LSGAN D loss (reference models.py:627-640 summed; hifisinger_v2.py
+    :134-142 averaged/halved)."""
+    losses = []
+    for dr, dg in zip(real_scores, fake_scores):
+        r_loss = jnp.mean((1.0 - dr) ** 2)
+        g_loss = jnp.mean(dg**2)
+        losses.append((r_loss + g_loss) / 2 if average else r_loss + g_loss)
+    total = sum(losses)
+    if average:
+        total = total / len(losses)
+    return total
+
+
+def generator_adv_loss(fake_scores, average: bool = False):
+    """LSGAN G loss (reference models.py:643-649; averaged in v2)."""
+    losses = [jnp.mean((1.0 - dg) ** 2) for dg in fake_scores]
+    total = sum(losses)
+    if average:
+        total = total / len(losses)
+    return total
+
+
+def feature_loss(fmap_real, fmap_fake):
+    """Feature matching (reference models.py:616-624): L1 over every map, x2."""
+    loss = 0.0
+    for dr, dg in zip(fmap_real, fmap_fake):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2.0
+
+
+def envelope_loss(y: jax.Array, y_hat: jax.Array, kernel: int = 100, stride: int = 50):
+    """Max-pool envelope L1, both polarities (reference hifisinger_v2.py
+    :100-115). y: [B, T]."""
+
+    def envelope(sig):
+        return nn.max_pool(
+            sig[:, :, None], (kernel,), strides=(stride,), padding="VALID"
+        )[:, :, 0]
+
+    return jnp.mean(jnp.abs(envelope(y) - envelope(y_hat))) + jnp.mean(
+        jnp.abs(envelope(-y) - envelope(-y_hat))
+    )
+
+
+def _smooth_l1(a, b):
+    d = jnp.abs(a - b)
+    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+def multi_scale_mel_loss(
+    y: jax.Array,
+    y_hat: jax.Array,
+    sampling_rate: int,
+    scales: Sequence[Tuple[int, int, int]],
+    loss: str = "smoothed-l1",
+    f_min: float = 40.0,
+    f_max: float = 16000.0,
+    n_mels: int = 128,
+):
+    """Multi-scale log-mel loss (reference hifisinger_v2.py:89-97 and
+    hifisinger_v1 aux loss). scales: [(n_fft, hop, win), ...]. y: [B, T]."""
+    losses = []
+    for n_fft, hop, win in scales:
+        mt = LogMelSpectrogram(
+            sample_rate=sampling_rate,
+            n_fft=n_fft,
+            win_length=win,
+            hop_length=hop,
+            f_min=f_min,
+            f_max=f_max,
+            n_mels=n_mels,
+        )
+        a = mt.wav2spec(y)
+        b = mt.wav2spec(y_hat)
+        if loss == "smoothed-l1":
+            losses.append(_smooth_l1(a, b))
+        else:
+            losses.append(jnp.mean(jnp.abs(a - b)))
+    return sum(losses) / len(losses)
+
+
+def multi_scale_stft_loss(
+    y: jax.Array,
+    y_hat: jax.Array,
+    scales: Sequence[Tuple[int, int, int]] = (
+        (512, 128, 512),
+        (1024, 256, 1024),
+        (2048, 512, 2048),
+    ),
+):
+    """Multi-scale linear-STFT magnitude L1 (reference
+    tools/nsf_hifigan/train.py aux losses). y: [B, T]."""
+    losses = []
+    for n_fft, hop, win in scales:
+        a = stft_magnitude(y, n_fft, hop, win, center=True)
+        b = stft_magnitude(y_hat, n_fft, hop, win, center=True)
+        losses.append(jnp.mean(jnp.abs(a - b)))
+    return sum(losses) / len(losses)
