@@ -13,3 +13,16 @@ Layer map (mirrors reference SURVEY.md §1, built TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even where a device plugin presets jax_platforms at
+# import time (the axon TPU plugin overrides the env var). Harmless when the
+# env var is unset or jax is already initialized.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

@@ -183,13 +183,20 @@ class _HubertExtractorBase(BaseFeatureExtractor):
 
     sampling_rate = 16000
 
-    def __init__(self, checkpoint_path: Optional[str] = None, **encoder_kwargs):
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        random_init: bool = False,
+        **encoder_kwargs,
+    ):
         self.encoder = HubertEncoder(**encoder_kwargs)
         self.params = None
         if checkpoint_path:
             with open(checkpoint_path, "rb") as f:
                 self.params = pickle.load(f)
         self._forward = jax.jit(self._forward_impl)
+        if random_init and self.params is None:
+            self.init_random()
 
     def init_random(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -223,9 +230,9 @@ class HubertSoft(_HubertExtractorBase):
     """bshall HuBERT-Soft: full tower + 256-d soft-unit projection
     (reference hubert_soft.py:8-29)."""
 
-    def __init__(self, checkpoint_path: Optional[str] = None):
-        super().__init__(checkpoint_path, layer_norm_first=False)
+    def __init__(self, checkpoint_path: Optional[str] = None, **kwargs):
         self.proj = nn.Dense(256, name="soft_proj")
+        super().__init__(checkpoint_path, layer_norm_first=False, **kwargs)
 
     def _init_head(self, rng):
         hidden = jnp.zeros((1, 10, 768))
@@ -251,11 +258,12 @@ class ContentVec(_HubertExtractorBase):
         checkpoint_path: Optional[str] = None,
         output_layer: int = 9,
         use_projection: bool = True,
+        **kwargs,
     ):
         self.output_layer = output_layer
         self.use_projection = use_projection
-        super().__init__(checkpoint_path, layer_norm_first=True)
         self.final_proj = nn.Dense(256, name="final_proj")
+        super().__init__(checkpoint_path, layer_norm_first=True, **kwargs)
 
     def _init_head(self, rng):
         if not self.use_projection:
@@ -282,9 +290,10 @@ class ContentVec(_HubertExtractorBase):
 class ChineseHubert(_HubertExtractorBase):
     """Chinese HuBERT, raw hidden states (reference chinese_hubert.py:67)."""
 
-    def __init__(self, checkpoint_path: Optional[str] = None, output_layer: int = -1):
+    def __init__(self, checkpoint_path: Optional[str] = None, output_layer: int = -1,
+                 **kwargs):
         self.output_layer = output_layer
-        super().__init__(checkpoint_path, layer_norm_first=True)
+        super().__init__(checkpoint_path, layer_norm_first=True, **kwargs)
 
     def _forward_impl(self, params, audio):
         hiddens = self.encoder.apply({"params": params}, audio)
@@ -297,10 +306,11 @@ class ChineseHubertSoft(_HubertExtractorBase):
     (reference chinese_hubert.py:11-64: keeps the top-k channels per frame,
     zeroing the rest)."""
 
-    def __init__(self, checkpoint_path: Optional[str] = None, gate_size: int = 10):
+    def __init__(self, checkpoint_path: Optional[str] = None, gate_size: int = 10,
+                 **kwargs):
         self.gate_size = gate_size
-        super().__init__(checkpoint_path, layer_norm_first=True)
         self.proj = nn.Dense(256, name="soft_proj")
+        super().__init__(checkpoint_path, layer_norm_first=True, **kwargs)
 
     def _init_head(self, rng):
         hidden = jnp.zeros((1, 10, 768))

@@ -324,6 +324,7 @@ class NsfHifiGAN:
         f_max: float = 16000.0,
         use_natural_log: bool = True,
         generator_config: Optional[dict] = None,
+        random_init: bool = False,
     ):
         self.use_natural_log = use_natural_log
         self.mel_transform = LogMelSpectrogram(
@@ -351,6 +352,9 @@ class NsfHifiGAN:
             self.load_checkpoint(checkpoint_path)
 
         self._spec2wav = jax.jit(self._spec2wav_impl)
+
+        if random_init and self.params is None:
+            self.init_random(jax.random.PRNGKey(0))
 
     def load_checkpoint(self, path: str):
         """Load params converted by tools/convert_nsf_hifigan_checkpoint.py."""
