@@ -1,7 +1,8 @@
-from . import convnext, encoders, fast_speech, wavenet  # noqa: F401
-from . import vocoders  # noqa: F401
+from . import convnext, encoders, fast_speech, llama, wavenet  # noqa: F401
+from . import discriminators, hifisinger, vocoders  # noqa: F401
 from .diffusion import GaussianDiffusion  # noqa: F401
 from .diffsinger import DiffSinger  # noqa: F401
+from .grad_tts import GradTTS  # noqa: F401
 
 
 def build_model(model_cfg):

@@ -493,7 +493,11 @@ class GaussianDiffusion(nn.Module):
         rng, init_rng, skip_rng = jax.random.split(rng, 3)
 
         if original_mel is None:
-            shape = (features.shape[0], features.shape[1], self.mel_channels)
+            # mel length comes from x_masks when the condition is not
+            # frame-aligned (e.g. token conditions, reference
+            # diffusion.py:219-222)
+            t_ref = x_masks if x_masks is not None else features
+            shape = (features.shape[0], t_ref.shape[1], self.mel_channels)
             x = jax.random.normal(init_rng, shape, jnp.float32)
         else:
             x = self.norm_spec(original_mel)

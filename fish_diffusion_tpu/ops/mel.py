@@ -175,6 +175,48 @@ def stft_magnitude(
     return jnp.sqrt(real * real + imag * imag + eps)
 
 
+def istft(
+    real: jax.Array,
+    imag: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: Optional[int] = None,
+    center: bool = True,
+) -> jax.Array:
+    """Inverse STFT by windowed overlap-add (torch.istft-equivalent).
+
+    real/imag: [B, n_fft//2+1, frames] -> audio [B, T]. With ``center`` the
+    first/last n_fft//2 samples are trimmed (matching torch's center pad).
+    """
+    if win_length is None:
+        win_length = n_fft
+    window = jnp.asarray(_hann_window(win_length))
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (pad, n_fft - win_length - pad))
+
+    spec = real + 1j * imag  # [B, bins, frames]
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, 1, 2), n=n_fft, axis=-1)
+    frames = frames * window[None, None, :]
+
+    b, n_frames, _ = frames.shape
+    out_len = n_fft + hop_length * (n_frames - 1)
+
+    # overlap-add via scatter-add on frame positions
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    ).reshape(-1)
+    audio = jnp.zeros((b, out_len)).at[:, idx].add(frames.reshape(b, -1))
+
+    wsq = (window * window)[None, :].repeat(n_frames, axis=0).reshape(-1)
+    norm = jnp.zeros(out_len).at[idx].add(wsq)
+    audio = audio / jnp.maximum(norm, 1e-11)[None, :]
+
+    if center:
+        audio = audio[:, n_fft // 2 : out_len - n_fft // 2]
+    return audio
+
+
 # ---------------------------------------------------------------------------
 # Dynamic-range compression (reference utils/audio.py:11-28)
 # ---------------------------------------------------------------------------
