@@ -1,0 +1,179 @@
+"""Standalone vocoder GAN trainer (NSF-HiFiGAN / RefineGAN).
+
+Capability parity with the reference trainers
+``tools/nsf_hifigan/train.py:32-328`` (MPD+MSD, multi-STFT + multi-mel +
+envelope aux losses) and ``tools/refinegan/train.py`` (MPD+MRD), built on
+the jitted two-player step in ``training/gan.py``. The vocoder consumes
+(audio, pitches) batches from ``NaiveVOCODERDataset``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vocoders.nsf_hifigan import NsfHifiGANGenerator
+from ..models.vocoders.refinegan import RefineGANGenerator
+from ..ops.mel import LogMelSpectrogram
+from ..parallel import make_mesh, shard_batch
+from .gan import Discriminators, create_gan_state, make_gan_train_step
+from .optim import build_optimizer
+from .trainer import MetricsLogger
+
+
+class VocoderTrainer:
+    def __init__(
+        self,
+        config,
+        log_dir: str = "logs/vocoder",
+        mesh=None,
+    ):
+        self.config = config
+        mc = config.model
+
+        gen_cfg = dict(mc.get("generator", {}))
+        gen_type = gen_cfg.pop("type", "NsfHifiGAN")
+        if gen_type in ("RefineGAN", "RefineGANGenerator"):
+            self.generator = RefineGANGenerator(**gen_cfg)
+            flavor = "v2"
+        else:
+            self.generator = NsfHifiGANGenerator(**gen_cfg)
+            flavor = "v1"
+
+        self.sampling_rate = getattr(self.generator, "sampling_rate", 44100)
+        self.hop_length = getattr(
+            self.generator, "hop_size", getattr(self.generator, "hop_length", 512)
+        )
+
+        self.mel_transform = LogMelSpectrogram(
+            sample_rate=self.sampling_rate,
+            hop_length=self.hop_length,
+            n_mels=getattr(self.generator, "num_mels", 128),
+        )
+
+        self.discs = Discriminators(
+            flavor,
+            mpd_cfg=dict(mc.get("mpd", {})) or None,
+            mrd_cfg=dict(mc.get("mrd", {})) or None,
+        )
+
+        opt_cfg = dict(config.optimizer)
+        sched_cfg = dict(config.scheduler) if config.get("scheduler") else None
+        self.tx_g = build_optimizer(opt_cfg, sched_cfg)
+        self.tx_d = build_optimizer(opt_cfg, sched_cfg)
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = MetricsLogger(log_dir)
+
+        from .checkpoint import CheckpointManager
+
+        self.ckpt = CheckpointManager(Path(log_dir) / "checkpoints")
+
+        def generator_apply(params, batch, rng):
+            audio = batch["audio"]
+            if audio.ndim == 3:
+                audio = audio[:, 0]
+            pitches = batch["pitches"]
+            if pitches.ndim == 3:
+                pitches = pitches[:, 0]
+
+            # mel from ground-truth audio, f0 at frame rate
+            mel = self.mel_transform.wav2spec(audio)  # [B, M, T]
+            mel = jnp.swapaxes(mel, 1, 2)
+            n_frames = mel.shape[1]
+            f0 = pitches[:, :: self.hop_length][:, :n_frames]
+            return self.generator.apply(
+                {"params": params}, mel, f0, rngs={"noise": rng}
+            )
+
+        self.generator_apply = generator_apply
+
+        scales = mc.get(
+            "multi_scale_mels",
+            ((2048, self.hop_length, 2048), (2048, 270, 1080), (4096, 540, 2160)),
+        )
+        self._train_step = make_gan_train_step(
+            generator_apply,
+            self.discs,
+            self.tx_g,
+            self.tx_d,
+            sampling_rate=self.sampling_rate,
+            multi_scale_mels=tuple(tuple(s) for s in scales),
+            mesh=self.mesh,
+        )
+
+    def init_state(self, example_batch, seed: int = 42):
+        audio = jnp.asarray(example_batch["audio"])
+        if audio.ndim == 3:
+            audio = audio[:, 0]
+        batch = {
+            "audio": audio,
+            "pitches": jnp.asarray(example_batch["pitches"]).reshape(
+                audio.shape[0], -1
+            ),
+        }
+
+        def gen_init():
+            rng = jax.random.PRNGKey(seed)
+            mel = jnp.zeros((1, 8, getattr(self.generator, "num_mels", 128)))
+            f0 = jnp.full((1, 8), 220.0)
+            return self.generator.init(
+                {"params": rng, "noise": jax.random.fold_in(rng, 1)}, mel, f0
+            )["params"]
+
+        return create_gan_state(
+            gen_init,
+            self.discs,
+            audio[:1],
+            jax.random.PRNGKey(seed),
+            self.tx_g,
+            self.tx_d,
+        )
+
+    def fit(self, train_loader, max_steps: Optional[int] = None, resume=False,
+            log_every: int = 10, save_every: int = 5000, seed: int = 42):
+        max_steps = max_steps or self.config.trainer.get("max_steps", 1_000_000)
+        state = None
+        rng = jax.random.PRNGKey(seed)
+        t_last = time.perf_counter()
+
+        while True:
+            for batch in train_loader:
+                clean = {
+                    "audio": jnp.asarray(batch["audio"]).reshape(
+                        len(batch["audio"]), -1
+                    ),
+                    "pitches": jnp.asarray(batch["pitches"]).reshape(
+                        len(batch["pitches"]), -1
+                    ),
+                }
+                if state is None:
+                    state = self.init_state(clean, seed)
+                    if resume and self.ckpt.latest_step() is not None:
+                        state = self.ckpt.restore(state)
+
+                sharded = shard_batch(clean, self.mesh)
+                state, metrics = self._train_step(state, sharded, rng)
+
+                step = int(state.step)
+                if step % log_every == 0:
+                    now = time.perf_counter()
+                    self.logger.log_scalars(
+                        step,
+                        {
+                            **{k: float(v) for k, v in metrics.items()},
+                            "steps_per_sec": log_every / max(now - t_last, 1e-9),
+                        },
+                    )
+                    t_last = now
+
+                if step % save_every == 0 or step >= max_steps:
+                    self.ckpt.save(state, {k: float(v) for k, v in metrics.items()})
+
+                if step >= max_steps:
+                    return state

@@ -1,0 +1,91 @@
+"""True numerical parity: reference torch WaveNet denoiser -> checkpoint
+converter -> scanned flax WaveNet, same inputs -> same epsilon prediction."""
+
+import importlib.util
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF = Path("/root/reference/fish_diffusion/modules/wavenet.py")
+
+
+def load_reference():
+    spec = importlib.util.spec_from_file_location("ref_wavenet", REF)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+def test_converted_wavenet_matches_torch():
+    ref = load_reference()
+
+    MEL, D_ENC, R, LAYERS, CYCLE = 16, 12, 24, 4, 2
+    torch.manual_seed(0)
+    tnet = ref.WaveNet(
+        mel_channels=MEL,
+        d_encoder=D_ENC,
+        residual_channels=R,
+        residual_layers=LAYERS,
+        use_linear_bias=True,
+        dilation_cycle=CYCLE,
+    )
+    tnet.eval()
+
+    rng = np.random.default_rng(1)
+    B, T = 2, 32
+    x = rng.standard_normal((B, MEL, T)).astype(np.float32)
+    cond = rng.standard_normal((B, D_ENC, T)).astype(np.float32)
+    t = np.array([7, 300], np.int64)
+
+    with torch.no_grad():
+        t_out = tnet(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond)
+        ).numpy()
+
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools/diffusion")
+    from convert_torch_checkpoint import convert_wavenet
+
+    sd = {f"d.{k}": v.numpy() for k, v in tnet.state_dict().items()}
+    params = convert_wavenet(sd, "d")
+
+    from fish_diffusion_tpu.models.wavenet import WaveNet
+
+    jnet = WaveNet(
+        mel_channels=MEL,
+        d_encoder=D_ENC,
+        residual_channels=R,
+        residual_layers=LAYERS,
+        use_linear_bias=True,
+        dilation_cycle=CYCLE,
+    )
+
+    # structure check against fresh init
+    init = jnet.init(
+        jax.random.PRNGKey(0),
+        jnp.swapaxes(jnp.asarray(x), 1, 2),
+        jnp.asarray(t),
+        jnp.swapaxes(jnp.asarray(cond), 1, 2),
+    )["params"]
+    assert jax.tree_util.tree_map(lambda a: a.shape, init) == jax.tree_util.tree_map(
+        lambda a: a.shape, params
+    )
+
+    with jax.default_matmul_precision("float32"):
+        j_out = jnet.apply(
+            {"params": params},
+            jnp.swapaxes(jnp.asarray(x), 1, 2),
+            jnp.asarray(t),
+            jnp.swapaxes(jnp.asarray(cond), 1, 2),
+        )
+    j_out = np.swapaxes(np.asarray(j_out), 1, 2)
+
+    np.testing.assert_allclose(j_out, t_out, atol=1e-4, rtol=1e-3)

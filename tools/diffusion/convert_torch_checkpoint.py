@@ -1,0 +1,186 @@
+"""Convert a torch fish-diffusion DiffSinger checkpoint (Lightning
+state_dict) to flax params for this framework's DiffSinger.
+
+Covers the reference checkpoint surface (``tools/diffusion/train.py:48-97``
+key layout): NaiveProjectionEncoder text/speaker/pitch encoders + WaveNet
+denoiser. The WaveNet residual stack is re-laid-out into the scanned
+(stacked leading axis) parameter format; the k=3 dilated conv splits into
+the three shifted-matmul taps.
+
+Usage:
+    python tools/diffusion/convert_torch_checkpoint.py \
+        --input model.ckpt --output params.pkl [--use-ema]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def _dense(sd, prefix):
+    out = {"kernel": np.ascontiguousarray(np.asarray(sd[f"{prefix}.weight"]).T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv1x1_as_dense(sd, prefix):
+    """torch Conv1d(k=1) [out, in, 1] -> Dense {kernel [in, out], bias}."""
+    w = np.asarray(sd[f"{prefix}.weight"])[:, :, 0]
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_encoder(sd: dict, prefix: str) -> dict:
+    """NaiveProjectionEncoder: Linear / Embedding / bottleneck."""
+    if f"{prefix}.embedding.weight" in sd:
+        return {"embedding": {"embedding": np.asarray(sd[f"{prefix}.embedding.weight"])}}
+    if f"{prefix}.projection.weight" in sd:
+        return {"projection": _dense(sd, f"{prefix}.projection")}
+    if f"{prefix}.projection.0.weight" in sd:
+        return {
+            "projection_0": _dense(sd, f"{prefix}.projection.0"),
+            "projection_1": _dense(sd, f"{prefix}.projection.1"),
+        }
+    raise KeyError(f"unrecognized encoder layout at {prefix}")
+
+
+def _wrap(d):
+    """Conv1x1/LinearNorm flax wrappers hold one inner auto-named Dense."""
+    return {"Dense_0": d}
+
+
+def convert_wavenet(sd: dict, prefix: str) -> dict:
+    """WaveNet denoiser -> scanned-stack flax layout."""
+    params: dict = {}
+    params["input_projection"] = _wrap(_conv1x1_as_dense(sd, f"{prefix}.input_projection.conv"))
+    params["mlp_0"] = _wrap(_dense(sd, f"{prefix}.mlp.0.linear"))
+    params["mlp_1"] = _wrap(_dense(sd, f"{prefix}.mlp.2.linear"))
+    params["skip_projection"] = _wrap(_conv1x1_as_dense(sd, f"{prefix}.skip_projection.conv"))
+    params["output_projection"] = _wrap(_conv1x1_as_dense(sd, f"{prefix}.output_projection.conv"))
+
+    n_layers = (
+        max(
+            int(k.split(".")[len(prefix.split(".")) + 1])
+            for k in sd
+            if k.startswith(f"{prefix}.residual_layers.")
+        )
+        + 1
+    )
+
+    # gather per-layer tensors, stack on the leading (scan) axis
+    w_left, w_center, w_right, conv_bias = [], [], [], []
+    diff_proj_k, diff_proj_b = [], []
+    cond_proj_k, cond_proj_b = [], []
+    out_proj_k, out_proj_b = [], []
+
+    for i in range(n_layers):
+        p = f"{prefix}.residual_layers.{i}"
+        w = np.asarray(sd[f"{p}.conv_layer.conv.weight"])  # [2r, r, 3]
+        # tap 0 sees x[t-d], tap 1 x[t], tap 2 x[t+d] (symmetric padding d)
+        w_left.append(np.ascontiguousarray(w[:, :, 0].T))
+        w_center.append(np.ascontiguousarray(w[:, :, 1].T))
+        w_right.append(np.ascontiguousarray(w[:, :, 2].T))
+        conv_bias.append(np.asarray(sd[f"{p}.conv_layer.conv.bias"]))
+
+        dp = _dense(sd, f"{p}.diffusion_projection.linear")
+        diff_proj_k.append(dp["kernel"])
+        if "bias" in dp:
+            diff_proj_b.append(dp["bias"])
+
+        cp = _conv1x1_as_dense(sd, f"{p}.conditioner_projection.conv")
+        cond_proj_k.append(cp["kernel"])
+        cond_proj_b.append(cp["bias"])
+
+        op = _conv1x1_as_dense(sd, f"{p}.output_projection.conv")
+        out_proj_k.append(op["kernel"])
+        out_proj_b.append(op["bias"])
+
+    dp_inner = {"kernel": np.stack(diff_proj_k)}
+    if diff_proj_b:
+        dp_inner["bias"] = np.stack(diff_proj_b)
+
+    block = {
+        "conv_layer": {
+            "w_left": {"kernel": np.stack(w_left)},
+            "w_center": {"kernel": np.stack(w_center)},
+            "w_right": {"kernel": np.stack(w_right)},
+            "bias": np.stack(conv_bias),
+        },
+        "diffusion_projection": _wrap(dp_inner),
+        "conditioner_projection": _wrap({
+            "kernel": np.stack(cond_proj_k),
+            "bias": np.stack(cond_proj_b),
+        }),
+        "output_projection": _wrap({
+            "kernel": np.stack(out_proj_k),
+            "bias": np.stack(out_proj_b),
+        }),
+    }
+
+    params["residual_layers"] = block
+    return params
+
+
+def convert_diffsinger(sd: dict) -> dict:
+    """Full DiffSinger params tree from a (stripped) torch state dict."""
+    params: dict = {}
+
+    for enc in ("text_encoder", "speaker_encoder", "pitch_encoder",
+                "pitch_shift_encoder", "energy_encoder"):
+        if any(k.startswith(f"{enc}.") for k in sd):
+            params[f"{enc}_mod"] = convert_encoder(sd, enc)
+
+    if any(k.startswith("diffusion.denoise_fn.") for k in sd):
+        params["diffusion_mod"] = {
+            "denoise_fn": convert_wavenet(sd, "diffusion.denoise_fn")
+        }
+
+    return params
+
+
+def strip_lightning(sd: dict, use_ema: bool = False) -> dict:
+    """Drop vocoder keys; select model.* or ema_model.* subtree
+    (reference train.py:48-97 surgery)."""
+    root = "ema_model." if use_ema else "model."
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("vocoder."):
+            continue
+        if k.startswith(root):
+            out[k[len(root):]] = v
+    return out or sd
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--use-ema", action="store_true")
+    args = parser.parse_args()
+
+    import torch
+
+    cp = torch.load(args.input, map_location="cpu")
+    sd = cp.get("state_dict", cp)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    sd = strip_lightning(sd, use_ema=args.use_ema)
+
+    params = convert_diffsinger(sd)
+
+    with open(args.output, "wb") as f:
+        pickle.dump({"params": params}, f)
+    print(f"converted DiffSinger checkpoint -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

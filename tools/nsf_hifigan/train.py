@@ -1,0 +1,38 @@
+"""NSF-HiFiGAN vocoder training CLI (parity with reference
+``tools/nsf_hifigan/train.py``: MPD+MSD adversarial + multi-STFT/mel/envelope
+aux losses, NaiveVOCODERDataset with pitch/loudness augmentation)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--log-dir", type=str, default="logs/nsf_hifigan")
+    args = parser.parse_args()
+
+    from fish_diffusion_tpu.config import Config
+    from fish_diffusion_tpu.datasets import DataLoader
+    from fish_diffusion_tpu.registry import DATASETS
+    from fish_diffusion_tpu.training.vocoder_trainer import VocoderTrainer
+
+    cfg = Config.fromfile(args.config)
+    trainer = VocoderTrainer(cfg, log_dir=args.log_dir)
+
+    dataset = DATASETS.build(dict(cfg.dataset.train))
+    loader = DataLoader(
+        dataset, collate_fn=dataset.collate_fn, **dict(cfg.dataloader.train)
+    )
+
+    trainer.fit(loader, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
