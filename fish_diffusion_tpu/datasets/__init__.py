@@ -1,4 +1,4 @@
-from . import naive, wrappers  # noqa: F401  (register datasets)
+from . import hifisinger, naive, wrappers  # noqa: F401  (register datasets)
 from .loader import DataLoader, build_loader_from_config
 from .utils import (
     get_datasets_from_subfolder,
