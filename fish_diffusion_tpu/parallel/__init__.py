@@ -5,6 +5,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .tp import llama_param_shardings, shard_params
 
 __all__ = [
     "batch_sharding",
