@@ -8,6 +8,47 @@ import jax
 import jax.numpy as jnp
 
 
+def _upsample_linear_integer(x: jax.Array, factor: int) -> jax.Array:
+    """Gather-free linear upsampling by an integer factor (torch
+    align_corners=False semantics). x: [..., T] -> [..., T*factor].
+
+    For output j within a frame: pos = (j+0.5)/f - 0.5, so the left source
+    is the previous frame for j < f/2 and the current frame otherwise; the
+    lerp weight depends only on j — everything is repeats + elementwise.
+    """
+    f = factor
+    j = jnp.arange(f, dtype=jnp.float32)
+    pos = (j + 0.5) / f - 0.5  # relative position in [-0.5, 1.5)
+    use_prev = pos < 0
+    w = jnp.where(use_prev, pos + 1.0, pos)  # lerp weight toward "next"
+
+    x_prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    x_next = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+
+    xr = jnp.repeat(x, f, axis=-1)
+    prev_r = jnp.repeat(x_prev, f, axis=-1)
+    next_r = jnp.repeat(x_next, f, axis=-1)
+
+    T_out = x.shape[-1] * f
+    w_full = jnp.tile(w, x.shape[-1]).astype(x.dtype)
+    use_prev_full = jnp.tile(use_prev, x.shape[-1])
+
+    left = jnp.where(use_prev_full, prev_r, xr)
+    right = jnp.where(use_prev_full, xr, next_r)
+    out = left * (1 - w_full) + right * w_full
+
+    # clip at the boundaries (torch clamps pos to [0, T-1]):
+    # pos<0 for global i < f/2 - 0.5; pos>T-1 for i >= f*T - f/2 - 0.5
+    import math
+
+    n_lo = math.ceil(f / 2 - 0.5)
+    n_hi_start = math.ceil(x.shape[-1] * f - f / 2 - 0.5)
+    idx_full = jnp.arange(T_out)
+    out = jnp.where(idx_full < n_lo, xr, out)
+    out = jnp.where(idx_full >= n_hi_start, xr, out)
+    return out
+
+
 def repeat_expand(content: jax.Array, target_len: int, mode: str = "nearest"):
     """Resample last axis to ``target_len`` (reference utils/tensor.py:7-43).
 
@@ -26,7 +67,15 @@ def repeat_expand(content: jax.Array, target_len: int, mode: str = "nearest"):
 
     src_len = content.shape[-1]
 
-    if mode == "nearest":
+    # TPU fast paths: integer up/down factors avoid gathers entirely
+    # (gathers serialize on TPU; repeat/reshape lower to broadcasts).
+    if target_len % src_len == 0 and target_len != src_len:
+        factor = target_len // src_len
+        if mode == "nearest":
+            result = jnp.repeat(content, factor, axis=-1)
+        else:
+            result = _upsample_linear_integer(content, factor)
+    elif mode == "nearest":
         idx = (jnp.arange(target_len) * (src_len / target_len)).astype(jnp.int32)
         idx = jnp.clip(idx, 0, src_len - 1)
         result = content[..., idx]
