@@ -49,11 +49,14 @@ class ISTFTNetGenerator(nn.Module):
         # harmonic source at TRUNK rate (prod(upsample_rates) per frame) —
         # the reference's parent f0_upsamp scales by prod(upsample_rates),
         # not to the audio sample rate (models.py:359 with the iSTFT trunk)
-        trunk_len = n_frames * total_up
-        f0_trunk = repeat_expand(f0[:, None, :], trunk_len, mode="linear")[:, 0, :]
-        har_source, _, _ = SourceModuleHnNSF(
-            sampling_rate=self.sampling_rate, harmonic_num=8, name="m_source"
-        )(f0_trunk[:, :, None])
+        from .source import BlockedSourceModule
+
+        har_source, _, _ = BlockedSourceModule(
+            sampling_rate=self.sampling_rate,
+            hop=total_up,
+            harmonic_num=8,
+            name="m_source",
+        )(f0)
         har = har_source.astype(self.dtype)
 
         x = nn.Conv(

@@ -215,16 +215,17 @@ class NsfHifiGANGenerator(nn.Module):
         n_frames = mel.shape[1]
         total_up = int(np.prod(self.upsample_rates))
 
-        # f0 frame-rate -> sample-rate, linear interp (reference models.py:411)
-        f0_samples = repeat_expand(
-            f0[:, None, :], n_frames * self.hop_size, mode="linear"
-        )[:, 0, :]
+        # harmonic source from FRAME-rate f0 in blocked layout (the
+        # sample-rate interp + cumsum the reference uses are pathological
+        # on TPU — see vocoders/source.py)
+        from .source import BlockedSourceModule
 
-        har_source, _, _ = SourceModuleHnNSF(
+        har_source, _, _ = BlockedSourceModule(
             sampling_rate=self.sampling_rate,
+            hop=self.hop_size,
             harmonic_num=8,
             name="m_source",
-        )(f0_samples[:, :, None])  # [B, T_samples, 1]
+        )(f0)  # [B, T_samples, 1]
 
         x = nn.Conv(
             self.upsample_initial_channel,

@@ -226,18 +226,22 @@ class RefineGANGenerator(nn.Module):
         n_frames = mel.shape[1]
         t_samples = n_frames * self.hop_length
 
-        if f0.ndim == 2:
-            f0 = f0[:, :, None]
-        f0 = linear_resize(f0, t_samples)
+        if f0.ndim == 3:
+            f0 = f0[:, :, 0]
+
+        from .source import BlockedCombTooth
 
         if self.template_generator == "comb":
-            template = CombToothGen(
-                sampling_rate=self.sampling_rate, name="template_gen"
+            template = BlockedCombTooth(
+                sampling_rate=self.sampling_rate,
+                hop=self.hop_length,
+                name="template_gen",
             )(f0)
         else:
+            f0_s = linear_resize(f0[:, :, None], t_samples)
             template = RefineSineGen(
                 sampling_rate=self.sampling_rate, name="template_gen"
-            )(f0)
+            )(f0_s)
         template = template.astype(self.dtype)
 
         x = _wn_conv(self.start_channels, 7, "template_conv", self.dtype)(template)

@@ -1,0 +1,190 @@
+"""Blocked-layout excitation sources — the TPU-native NSF front end.
+
+The torch reference (and a naive port) computes the harmonic source by
+upsampling f0 to the sample rate (a 2M-element interpolation) and running a
+2M-element cumulative sum (``models.py:224-231``). On TPU both are
+pathological: the interpolation gathers and the scan serialize, costing
+hundreds of ms per second of audio — more than the entire conv trunk.
+
+This module computes the identical signal in a ``[B, T_frames, hop]``
+blocked layout where frames sit on sublanes and intra-frame samples on
+lanes:
+
+- per-sample f0 from frame f0 is a 3-term hat-function combination with
+  FIXED per-lane coefficients (linear interpolation, align_corners=False):
+  ``f0[k-1]*a_prev[j] + f0[k]*a_cur[j] + f0[k+1]*a_next[j]``
+- per-sample phase splits into (frame base) + (intra-frame cumsum): the
+  base is a T_frames-length mod-1 associative scan (~1k elements instead of
+  ~2M), the intra part an inclusive cumsum along lanes
+- harmonic n's phase is just ``n * phase + rand_ini_n`` (cumsum linearity)
+
+Everything is broadcasts and lane-wise ops; the only scan left is 1000x
+shorter. Numerically equivalent to the per-sample formulation (verified by
+the NSF-HiFiGAN torch parity test).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+@functools.lru_cache(maxsize=None)
+def frame_interp_coeffs(hop: int):
+    """Per-lane hat coefficients for align_corners=False linear interp."""
+    j = np.arange(hop, dtype=np.float64)
+    pos = (j + 0.5) / hop - 0.5
+    w = np.where(pos < 0, pos + 1.0, pos)
+    a_prev = np.where(pos < 0, 1.0 - w, 0.0)
+    a_cur = np.where(pos < 0, w, 1.0 - w)
+    a_next = np.where(pos < 0, 0.0, w)
+    return (
+        a_prev.astype(np.float32),
+        a_cur.astype(np.float32),
+        a_next.astype(np.float32),
+    )
+
+
+def sample_f0_blocked(f0: jax.Array, hop: int) -> jax.Array:
+    """Frame f0 [B, T] -> per-sample f0 in blocked layout [B, T, hop].
+
+    Matches ``F.interpolate(mode='linear', align_corners=False)`` with
+    boundary clamping via edge padding.
+    """
+    a_prev, a_cur, a_next = frame_interp_coeffs(hop)
+    f_prev = jnp.concatenate([f0[:, :1], f0[:, :-1]], axis=1)
+    f_next = jnp.concatenate([f0[:, 1:], f0[:, -1:]], axis=1)
+    return (
+        f_prev[:, :, None] * jnp.asarray(a_prev)[None, None, :]
+        + f0[:, :, None] * jnp.asarray(a_cur)[None, None, :]
+        + f_next[:, :, None] * jnp.asarray(a_next)[None, None, :]
+    )
+
+
+def blocked_phase(f0_blocked: jax.Array, sampling_rate: int) -> jax.Array:
+    """Per-sample fractional phase [B, T, hop] of cumsum(f0/sr) mod 1."""
+    rad = f0_blocked / sampling_rate
+    intra = jnp.cumsum(rad, axis=-1)  # inclusive, <= hop * f0_max/sr
+    frame_sum = jnp.mod(intra[..., -1], 1.0)
+
+    base_incl = jax.lax.associative_scan(
+        lambda a, b: jnp.mod(a + b, 1.0), frame_sum, axis=1
+    )
+    base_excl = jnp.concatenate(
+        [jnp.zeros_like(base_incl[:, :1]), base_incl[:, :-1]], axis=1
+    )
+    return jnp.mod(base_excl[:, :, None] + intra, 1.0)
+
+
+class BlockedSineGen(nn.Module):
+    """Harmonic sine bank from FRAME-rate f0 (SineGen equivalent,
+    reference models.py:161-294). RNG stream: ``noise``.
+
+    __call__(f0 [B, T_frames]) -> (sines [B, T_frames*hop, dim], uv, noise)
+    """
+
+    samp_rate: int
+    hop: int
+    harmonic_num: int = 0
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, f0: jax.Array):
+        dim = self.harmonic_num + 1
+        b, t = f0.shape
+
+        f0_blk = sample_f0_blocked(f0, self.hop)  # [B, T, hop]
+        phase = blocked_phase(f0_blk, self.samp_rate)  # [B, T, hop]
+
+        rng_phase, rng_noise = jax.random.split(self.make_rng("noise"))
+        rand_ini = jax.random.uniform(rng_phase, (b, dim)).at[:, 0].set(0.0)
+
+        harmonics = jnp.arange(1, dim + 1, dtype=jnp.float32)
+        # cumsum linearity: harmonic n phase = n * phase (+ its init phase)
+        ph = (
+            phase[..., None] * harmonics[None, None, None, :]
+            + rand_ini[:, None, None, :]
+        )
+        sines = jnp.sin(2 * jnp.pi * jnp.mod(ph, 1.0)) * self.sine_amp
+
+        uv_blk = (f0_blk > self.voiced_threshold).astype(jnp.float32)
+        noise_amp = uv_blk * self.noise_std + (1 - uv_blk) * self.sine_amp / 3
+        noise = noise_amp[..., None] * jax.random.normal(rng_noise, sines.shape)
+        sines = sines * uv_blk[..., None] + noise
+
+        T_s = t * self.hop
+        return (
+            sines.reshape(b, T_s, dim),
+            uv_blk.reshape(b, T_s, 1),
+            noise.reshape(b, T_s, dim),
+        )
+
+
+class BlockedSourceModule(nn.Module):
+    """SourceModuleHnNSF equivalent on frame-rate f0
+    (reference models.py:297-350)."""
+
+    sampling_rate: int
+    hop: int
+    harmonic_num: int = 0
+    sine_amp: float = 0.1
+    add_noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, f0: jax.Array):
+        sine_wavs, uv, _ = BlockedSineGen(
+            self.sampling_rate,
+            self.hop,
+            self.harmonic_num,
+            self.sine_amp,
+            self.add_noise_std,
+            self.voiced_threshold,
+            name="l_sin_gen",
+        )(f0)
+        sine_merge = jnp.tanh(nn.Dense(1, name="l_linear")(sine_wavs))
+        noise = (
+            jax.random.normal(self.make_rng("noise"), uv.shape)
+            * self.sine_amp
+            / 3
+        )
+        return sine_merge, noise, uv
+
+
+class BlockedCombTooth(nn.Module):
+    """Sinc comb excitation from frame-rate f0 (RefineGAN CombToothGen
+    equivalent, refinegan/generator.py:159-194). RNG stream: ``noise``."""
+
+    sampling_rate: int
+    hop: int
+    wave_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, f0: jax.Array):
+        b, t = f0.shape
+        f0_blk = sample_f0_blocked(f0, self.hop)
+        phase = blocked_phase(f0_blk, self.sampling_rate)
+
+        x = phase - jnp.round(phase)  # [-0.5, 0.5]
+        combtooth = (
+            jnp.sinc(self.sampling_rate * x / (f0_blk + 1e-3)) * self.wave_amp
+        )
+
+        uv = (f0_blk > self.voiced_threshold).astype(jnp.float32)
+        noise_amp = uv * self.noise_std + (1 - uv) * self.wave_amp / 3
+        noise = noise_amp * jax.random.normal(
+            self.make_rng("noise"), combtooth.shape
+        )
+        out = combtooth * uv + noise
+        return out.reshape(b, t * self.hop, 1)
