@@ -128,6 +128,41 @@ class QuantizedPitchEncoder(nn.Module):
 
 
 @ENCODERS.register_module()
+class BertEncoder:
+    """HF BERT text encoder (reference ``modules/encoders/bert.py:10``).
+
+    A preprocessing-time component (runs on tokenized text, not in the jit
+    hot path); loads from a LOCAL model directory — HF hub access needs
+    network, which production TPU pods often lack.
+    """
+
+    def __init__(self, model_name: str = "bert-base-cased", pretrained: bool = True):
+        self.model_name = model_name
+        self.pretrained = pretrained
+        self._model = None
+        self._tokenizer = None
+
+    def _load(self):
+        if self._model is None:
+            from transformers import AutoModel, AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(self.model_name)
+            self._model = AutoModel.from_pretrained(self.model_name)
+            self._model.eval()
+        return self._model, self._tokenizer
+
+    def __call__(self, texts, masks=None):
+        import numpy as np
+        import torch
+
+        model, tokenizer = self._load()
+        enc = tokenizer(list(texts), return_tensors="pt", padding=True)
+        with torch.no_grad():
+            out = model(**enc).last_hidden_state
+        return np.asarray(out)
+
+
+@ENCODERS.register_module()
 class TransformerEncoder(nn.Module):
     """Plain transformer encoder wrapper
     (reference ``modules/encoders/transformer.py:7``): input projection +

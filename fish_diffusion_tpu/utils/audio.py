@@ -100,6 +100,46 @@ def slice_audio(
             yield i, i + chunk_size
 
 
+def separate_vocals(audio: np.ndarray, sr: int, device=None, separate_model=None):
+    """Vocal/instrumental separation hook (reference utils/audio.py:170-201
+    uses htdemucs via fish_audio_preprocess).
+
+    Uses a locally-installed demucs when available; otherwise raises with
+    instructions — the learned separator's weights require network access
+    this framework does not assume at runtime.
+    """
+    try:
+        from fish_audio_preprocess.utils import separate_audio  # type: ignore
+    except ImportError:
+        try:
+            import demucs  # type: ignore  # noqa: F401
+        except ImportError:
+            raise RuntimeError(
+                "vocal separation needs the 'demucs' (or fish_audio_preprocess) "
+                "package with local htdemucs weights; install it or run "
+                "inference without --extract-vocals"
+            )
+        from demucs import pretrained, apply  # type: ignore
+        import torch
+
+        model = separate_model or pretrained.get_model("htdemucs")
+        wav = np.stack([audio, audio])
+        with torch.no_grad():
+            sources = apply.apply_model(
+                model, torch.from_numpy(wav[None]).float(), device=device or "cpu"
+            )[0]
+        names = model.sources
+        vocals = sources[names.index("vocals")].mean(0).numpy()
+        non_vocals = (
+            sum(sources[i] for i, n in enumerate(names) if n != "vocals")
+            .mean(0)
+            .numpy()
+        )
+        return vocals, non_vocals
+
+    raise RuntimeError("fish_audio_preprocess path not wired in this image")
+
+
 def save_wav(path, audio: np.ndarray, sample_rate: int = 44100):
     """Write mono/stereo float [-1,1] audio as 16-bit PCM WAV (stdlib)."""
     audio = np.asarray(audio)

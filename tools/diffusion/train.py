@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--log-dir", type=str, default="logs")
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--profile", action="store_true",
+                        help="write a jax.profiler trace of the first steps")
     args = parser.parse_args()
 
     import jax
@@ -83,6 +85,14 @@ def main():
         state = trainer.load_pretrained(state, pretrained)
         trainer.ckpt.save(state)  # persist surgically-initialized state
         print(f"[train] warm-started from {args.pretrained}")
+
+    if args.profile:
+        from fish_diffusion_tpu.utils.profiling import profile_trace
+
+        cfg.trainer.max_steps = min(cfg.trainer.get("max_steps", 50), 50)
+        with profile_trace(str(log_dir / "profile")):
+            trainer.fit(train_loader, valid_loader, seed=args.seed)
+        return
 
     trainer.fit(
         train_loader,
