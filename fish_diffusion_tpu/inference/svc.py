@@ -203,15 +203,34 @@ class SVCInference:
         mel_len = len(audio) // self.hop_length
         bucket = _bucket_for(mel_len)
 
+        # extract on bucket-padded audio so extractor jits compile once per
+        # bucket (static-shape discipline), then crop to true frames
+        audio_padded = np.pad(
+            np.asarray(audio, np.float32),
+            (0, bucket * self.hop_length - len(audio)),
+        )
+
+        f0_raw = np.asarray(
+            self.pitch_extractor(audio_padded, self.sampling_rate, pad_to=None)
+        )
+        n_true = int(np.ceil(len(audio) / self.pitch_extractor.hop_length))
         pitches = np.asarray(
-            self.pitch_extractor(audio, self.sampling_rate, pad_to=mel_len)
+            self.pitch_extractor.post_process(
+                audio, self.sampling_rate, f0_raw[:n_true], mel_len
+            )
         )
         pitches = pitches * 2 ** (pitch_adjust / 12)
         if (pitches == 0).all():
             return np.zeros_like(audio)  # no voice, skip (inference.py:112)
 
-        contents = self.text_features_extractor(audio, self.sampling_rate)
-        contents = np.asarray(repeat_expand(jnp.asarray(contents[0]), mel_len)).T
+        contents = self.text_features_extractor(audio_padded, self.sampling_rate)
+        t_feat = contents.shape[-1]
+        t_true = max(
+            int(round(t_feat * len(audio) / len(audio_padded))), 1
+        )
+        contents = np.asarray(
+            repeat_expand(jnp.asarray(contents[0, :, :t_true]), mel_len)
+        ).T
 
         # pad to bucket
         pad = bucket - mel_len

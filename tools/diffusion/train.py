@@ -89,7 +89,7 @@ def main():
     if args.profile:
         from fish_diffusion_tpu.utils.profiling import profile_trace
 
-        cfg.trainer.max_steps = min(cfg.trainer.get("max_steps", 50), 50)
+        trainer.max_steps = min(trainer.max_steps, 50)
         with profile_trace(str(log_dir / "profile")):
             trainer.fit(train_loader, valid_loader, seed=args.seed)
         return

@@ -78,6 +78,9 @@ class FeaturePipeline:
                 dict(pre.energy_extractor)
             )
 
+        # audio length buckets (seconds): compile-once-per-bucket discipline
+        self.bucket_seconds = (2, 5, 10, 15, 20, 30, 45, 60)
+
         voc = config.model.get("vocoder", {})
         self.sampling_rate = voc.get(
             "sampling_rate", config.get("sampling_rate", 44100)
@@ -89,6 +92,13 @@ class FeaturePipeline:
             hop_length=self.hop_length,
             use_natural_log=voc.get("use_natural_log", True),
         )
+
+    def _bucket_samples(self, n: int) -> int:
+        for sec in self.bucket_seconds:
+            b = sec * self.sampling_rate
+            if n <= b:
+                return b
+        return int(np.ceil(n / self.sampling_rate)) * self.sampling_rate
 
     def process(
         self,
@@ -114,10 +124,16 @@ class FeaturePipeline:
         if time_stretch_ratio != 1.0:
             audio = time_stretch(audio, time_stretch_ratio)
 
+        # static-shape discipline: pad audio to a length bucket so the jitted
+        # mel/pitch programs compile once per bucket, not once per file; the
+        # true frame count is cropped back out
+        mel_len = len(audio) // self.hop_length
+        bucket_samples = self._bucket_samples(len(audio))
+        audio_padded = np.pad(audio, (0, bucket_samples - len(audio)))
+
         mel = np.asarray(
-            self.mel_transform.wav2spec(jnp.asarray(audio)[None])
-        )[0]  # [M, T]
-        mel_len = mel.shape[-1]
+            self.mel_transform.wav2spec(jnp.asarray(audio_padded)[None])
+        )[0][:, :mel_len]  # [M, T]
 
         sample = {
             "path": str(audio_path),
@@ -129,27 +145,44 @@ class FeaturePipeline:
         }
 
         if self.text_features_extractor is not None:
-            contents = self.text_features_extractor(audio, self.sampling_rate)
-            # [1, C, T_feat] -> repeat-expand to mel frames -> [C, T]
+            contents = self.text_features_extractor(
+                audio_padded, self.sampling_rate
+            )
+            # crop the padded tail, then repeat-expand to mel frames
             from fish_diffusion_tpu.ops.tensor import repeat_expand
 
+            t_feat = contents.shape[-1]
+            t_true = max(int(round(t_feat * len(audio) / bucket_samples)), 1)
             contents = np.asarray(
-                repeat_expand(jnp.asarray(contents[0]), mel_len)
+                repeat_expand(jnp.asarray(contents[0, :, :t_true]), mel_len)
             )
             sample["contents"] = contents.astype(np.float32)
 
         if self.pitch_extractor is not None:
             pitches = self.pitch_extractor(
-                audio, self.sampling_rate, pad_to=mel_len
+                audio_padded, self.sampling_rate, pad_to=None
+            )
+            n_frames_true = int(
+                np.ceil(len(audio) / self.pitch_extractor.hop_length)
+            )
+            pitches = self.pitch_extractor.post_process(
+                audio, self.sampling_rate,
+                np.asarray(pitches)[:n_frames_true], mel_len,
             )
             pitches = np.asarray(pitches) * 2 ** (key_shift / 12)
             sample["pitches"] = pitches.astype(np.float32)
 
         if self.energy_extractor is not None:
-            energy = self.energy_extractor(
-                audio, self.sampling_rate, pad_to=mel_len
+            energy = self.energy_extractor(audio_padded, self.sampling_rate)
+            n_frames_true = int(
+                np.ceil(len(audio) / self.energy_extractor.hop_length)
             )
-            sample["energy"] = np.asarray(energy).astype(np.float32)
+            from fish_diffusion_tpu.ops.tensor import repeat_expand
+
+            energy = np.asarray(
+                repeat_expand(jnp.asarray(np.asarray(energy)[:n_frames_true]), mel_len)
+            )
+            sample["energy"] = energy.astype(np.float32)
 
         np.save(save_path, sample, allow_pickle=True)
         return True
