@@ -146,6 +146,8 @@ def main():
     rtf = audio_seconds / elapsed
     mel_fps = n_iters * BATCH * FRAMES / elapsed
 
+    train_fps = _bench_training()
+
     print(
         json.dumps(
             {
@@ -154,12 +156,111 @@ def main():
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf, 3),
                 "mel_frames_per_sec_per_chip": round(mel_fps, 1),
+                "train_mel_frames_per_sec_per_chip": round(train_fps, 1),
                 "denoiser_evals": 100,
                 "batch": BATCH,
                 "frames": FRAMES,
             }
         )
     )
+
+
+def _bench_training():
+    """Training throughput: reference defaults (batch 20, bf16-mixed,
+    full 20x512 WaveNet) — one jitted SPMD step."""
+    from fish_diffusion_tpu.models import build_model
+    from fish_diffusion_tpu.parallel import make_mesh, shard_batch
+    from fish_diffusion_tpu.training import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    B, FRAMES = 20, 512
+    model = build_model(
+        dict(
+            type="DiffSinger",
+            diffusion=dict(
+                type="GaussianDiffusion",
+                mel_channels=128,
+                noise_schedule="linear",
+                timesteps=1000,
+                noise_loss="smoothed-l1",
+                denoiser=dict(
+                    type="WaveNetDenoiser",
+                    mel_channels=128,
+                    d_encoder=256,
+                    residual_channels=512,
+                    residual_layers=20,
+                    dilation_cycle=4,
+                    use_linear_bias=True,
+                ),
+                sampler_interval=10,
+                spec_min=[-5],
+                spec_max=[0],
+            ),
+            text_encoder=dict(
+                type="NaiveProjectionEncoder", input_size=256, output_size=256
+            ),
+            speaker_encoder=dict(
+                type="NaiveProjectionEncoder",
+                input_size=10,
+                output_size=256,
+                use_embedding=True,
+            ),
+            pitch_encoder=dict(
+                type="NaiveProjectionEncoder",
+                input_size=1,
+                output_size=256,
+                use_embedding=False,
+                preprocessing="pitch_to_scale",
+            ),
+        ),
+        precision="bf16-mixed",
+    )
+
+    rng = np.random.default_rng(0)
+    batch = dict(
+        speakers=jnp.zeros((B,), jnp.int32),
+        contents=jnp.asarray(rng.standard_normal((B, FRAMES, 256)), jnp.float32),
+        mel=jnp.asarray(rng.uniform(-4, 0, (B, FRAMES, 128)), jnp.float32),
+        pitches=jnp.asarray(rng.uniform(80, 600, (B, FRAMES)), jnp.float32),
+    )
+
+    tx = build_optimizer(
+        dict(type="AdamW", lr=1.0, weight_decay=1e-2, betas=(0.9, 0.98), eps=1e-9),
+        dict(
+            type="LambdaLR",
+            lr_lambda=dict(
+                type="LambdaWarmUpCosineScheduler",
+                warm_up_steps=1000,
+                val_final=2e-5,
+                val_base=8e-4,
+                val_start=1e-5,
+                max_decay_steps=300000,
+            ),
+        ),
+        grad_clip_val=0.5,
+    )
+    mesh = make_mesh(axis_shapes=(-1,), axis_names=("data",))
+    state = create_train_state(
+        model, batch, jax.random.PRNGKey(0), tx, ema_momentum=0.999
+    )
+    step = make_train_step(model, tx, ema_momentum=0.999, mesh=mesh)
+    sb = shard_batch(batch, mesh)
+
+    # warmup past tunnel/compile transients
+    for _ in range(8):
+        state, m = step(state, sb, jax.random.PRNGKey(1))
+    _ = float(m["loss"])
+
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, sb, jax.random.PRNGKey(1))
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - start) / iters
+    return B * FRAMES / dt
 
 
 if __name__ == "__main__":

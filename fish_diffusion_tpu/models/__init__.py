@@ -5,15 +5,37 @@ from .diffsinger import DiffSinger  # noqa: F401
 from .grad_tts import GradTTS  # noqa: F401
 
 
-def build_model(model_cfg):
+def build_model(model_cfg, precision: str = None):
     """Build the trainable arch from a ``model`` config dict.
 
     The vocoder is NOT part of the trainable module (the reference freezes it
     and uses it only for validation audio, ``diffsinger.py:212-213``); build
     it separately via ``VOCODERS.build``.
+
+    ``precision``: "bf16-mixed" injects bf16 compute dtype into the denoiser
+    and encoder configs (params stay f32) — the TPU-native reading of the
+    reference trainer's precision flag (``configs/_base_/trainers/base.py:18``).
     """
     from ..registry import ARCHS
 
     cfg = dict(model_cfg)
     cfg.pop("vocoder", None)
+
+    if precision and "bf16" in str(precision):
+        import jax.numpy as jnp
+
+        cfg = _inject_dtype(cfg, jnp.bfloat16)
+
     return ARCHS.build(cfg)
+
+
+def _inject_dtype(cfg, dtype):
+    """Set compute dtype on denoiser/encoder sub-configs that accept it."""
+    out = {}
+    for k, v in cfg.items():
+        if isinstance(v, dict):
+            v = _inject_dtype(v, dtype)
+            if "type" in v and ("denoiser" in k or "encoder" in k):
+                v = {**v, "dtype": dtype}
+        out[k] = v
+    return out

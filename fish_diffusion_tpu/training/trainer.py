@@ -96,7 +96,11 @@ class Trainer:
         self.config = config
         tc = config.trainer
 
-        self.model = model if model is not None else build_model(config.model)
+        self.model = (
+            model
+            if model is not None
+            else build_model(config.model, precision=tc.get("precision"))
+        )
 
         self.ema_momentum = config.get("ema_momentum", None)
 
