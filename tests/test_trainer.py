@@ -1,0 +1,218 @@
+"""Trainer loop smoke tests on the virtual mesh: fit a few steps, validate,
+checkpoint, restore-resume. Plus the GAN v1 (MPD+MSD) flavor step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fish_diffusion_tpu.config import Config
+
+
+def tiny_config(tmp_path, n=12):
+    rng = np.random.default_rng(0)
+    for split, count in [("train", n), ("valid", 2)]:
+        d = tmp_path / split
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            T = int(rng.integers(60, 120))
+            np.save(
+                d / f"{i:03d}.0.data.npy",
+                dict(
+                    path=f"x{i}.wav",
+                    time_stretch=1.0,
+                    key_shift=0.0,
+                    mel=rng.uniform(-4, 0, (16, T)).astype(np.float32),
+                    contents=rng.standard_normal((8, T)).astype(np.float32),
+                    pitches=rng.uniform(80, 600, (T,)).astype(np.float32),
+                ),
+                allow_pickle=True,
+            )
+
+    return Config.fromdict(
+        dict(
+            model=dict(
+                type="DiffSinger",
+                diffusion=dict(
+                    type="GaussianDiffusion",
+                    mel_channels=16,
+                    timesteps=20,
+                    sampler_interval=5,
+                    noise_loss="l1",
+                    denoiser=dict(
+                        type="WaveNetDenoiser",
+                        mel_channels=16,
+                        d_encoder=12,
+                        residual_channels=8,
+                        residual_layers=2,
+                        dilation_cycle=2,
+                    ),
+                    spec_min=[-5],
+                    spec_max=[0],
+                ),
+                text_encoder=dict(
+                    type="NaiveProjectionEncoder", input_size=8, output_size=12
+                ),
+                speaker_encoder=dict(
+                    type="NaiveProjectionEncoder",
+                    input_size=2,
+                    output_size=12,
+                    use_embedding=True,
+                ),
+                pitch_encoder=dict(
+                    type="NaiveProjectionEncoder",
+                    input_size=1,
+                    output_size=12,
+                    preprocessing="pitch_to_scale",
+                ),
+            ),
+            dataset=dict(
+                train=dict(
+                    type="NaiveSVCDataset", path=str(tmp_path / "train")
+                ),
+                valid=dict(
+                    type="NaiveSVCDataset", path=str(tmp_path / "valid")
+                ),
+            ),
+            dataloader=dict(
+                train=dict(batch_size=8, shuffle=True, num_workers=1),
+                valid=dict(batch_size=2, shuffle=False, num_workers=1),
+            ),
+            optimizer=dict(type="AdamW", lr=1e-4),
+            scheduler=None,
+            trainer=dict(
+                max_steps=3,
+                val_check_interval=3,
+                log_every_n_steps=1,
+                gradient_clip_val=0.5,
+                precision="bf16-mixed",
+            ),
+            ema_momentum=0.99,
+        )
+    )
+
+
+class TestTrainerLoop:
+    def test_fit_validate_checkpoint_resume(self, tmp_path):
+        from fish_diffusion_tpu.datasets import build_loader_from_config
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        cfg = tiny_config(tmp_path)
+        log_dir = tmp_path / "logs"
+
+        trainer = Trainer(cfg, log_dir=str(log_dir))
+        train_loader, valid_loader = build_loader_from_config(
+            cfg, trainer.n_devices
+        )
+
+        state = trainer.fit(train_loader, valid_loader)
+        assert int(state.step) == 3
+        assert trainer.ckpt.latest_step() == 3
+
+        # metrics were written
+        assert (log_dir / "metrics.jsonl").read_text().strip()
+
+        # restore-resume continues from step 3
+        trainer2 = Trainer(cfg, log_dir=str(log_dir))
+        trainer2.max_steps = 5
+        state2 = trainer2.fit(train_loader, valid_loader, resume=True)
+        assert int(state2.step) == 5
+
+    def test_pretrained_surgery_shape_mismatch(self, tmp_path):
+        """Speaker table with different speaker count is skipped, rest load."""
+        from fish_diffusion_tpu.datasets import build_loader_from_config
+        from fish_diffusion_tpu.training.checkpoint import load_pretrained_params
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        cfg = tiny_config(tmp_path)
+        trainer = Trainer(cfg, log_dir=str(tmp_path / "logs2"))
+        train_loader, _ = build_loader_from_config(cfg, trainer.n_devices)
+        batch = next(iter(train_loader))
+        state = trainer.init_state(batch)
+
+        donor = jax.tree_util.tree_map(lambda a: a + 1.0, state.params)
+        # resize the speaker embedding table in the donor
+        donor["speaker_encoder_mod"]["embedding"]["embedding"] = jnp.zeros(
+            (7, 12)
+        )
+
+        merged = load_pretrained_params(donor, state.params)
+        # mismatched speaker table kept from target
+        assert merged["speaker_encoder_mod"]["embedding"]["embedding"].shape == (
+            2,
+            12,
+        )
+        # other weights came from the donor
+        np.testing.assert_allclose(
+            np.asarray(merged["text_encoder_mod"]["projection"]["kernel"]),
+            np.asarray(state.params["text_encoder_mod"]["projection"]["kernel"])
+            + 1.0,
+        )
+
+
+class TestGANv1Flavor:
+    def test_v1_step(self):
+        import optax
+
+        from fish_diffusion_tpu.models.vocoders.nsf_hifigan import (
+            NsfHifiGANGenerator,
+        )
+        from fish_diffusion_tpu.parallel import make_mesh, shard_batch
+        from fish_diffusion_tpu.training.gan import (
+            Discriminators,
+            create_gan_state,
+            make_gan_train_step,
+        )
+
+        gen = NsfHifiGANGenerator(
+            num_mels=8,
+            sampling_rate=44100,
+            hop_size=64,
+            upsample_rates=(4, 4, 2, 2),
+            upsample_kernel_sizes=(8, 8, 4, 4),
+            upsample_initial_channel=32,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3, 5),),
+        )
+
+        B, T = 8, 16
+        mel = jnp.zeros((B, T, 8))
+        f0 = jnp.full((B, T), 220.0)
+        variables = gen.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            mel[:1],
+            f0[:1],
+        )
+
+        def generator_apply(params, batch, rng):
+            return gen.apply(
+                {"params": params}, batch["mel"], batch["pitches"],
+                rngs={"noise": rng},
+            )
+
+        discs = Discriminators("v1", mpd_cfg={"periods": (2,)})
+        tx = optax.adam(1e-4)
+        state = create_gan_state(
+            lambda: variables["params"], discs, jnp.zeros((1, T * 64)),
+            jax.random.PRNGKey(5), tx, tx,
+        )
+        mesh = make_mesh(axis_shapes=(8,), axis_names=("data",))
+        step = make_gan_train_step(
+            generator_apply, discs, tx, tx,
+            multi_scale_mels=((512, 64, 512),),
+            mesh=mesh,
+        )
+        batch = shard_batch(
+            {
+                "mel": mel,
+                "pitches": f0,
+                "audio": jax.random.normal(jax.random.PRNGKey(9), (B, T * 64))
+                * 0.1,
+            },
+            mesh,
+        )
+        state, metrics = step(state, batch, jax.random.PRNGKey(11))
+        # v1 adds feature-matching and multi-STFT losses
+        for k in ("loss_d", "loss_g", "loss_fm", "loss_stft"):
+            assert np.isfinite(float(metrics[k])), k
