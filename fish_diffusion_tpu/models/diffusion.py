@@ -88,7 +88,10 @@ def _marginal_lambda(coeffs: ScheduleCoefficients, t: np.ndarray) -> np.ndarray:
 
 
 def unipc_step_table(
-    coeffs: ScheduleCoefficients, steps: int, t_start: Optional[float] = None
+    coeffs: ScheduleCoefficients,
+    steps: int,
+    t_start: Optional[float] = None,
+    variant: str = "bh2",
 ) -> dict:
     """Precompute everything the UniPC order-2 bh2 multistep scan needs.
 
@@ -132,7 +135,7 @@ def unipc_step_table(
         h = lam_t - lam_prev0
         hh = -h  # predict_x0
         h_phi_1 = np.expm1(hh)
-        B_h = np.expm1(hh)  # bh2
+        B_h = np.expm1(hh) if variant == "bh2" else hh  # bh2 | bh1
 
         order = 2 if (1 < step < steps + 0) and step >= 2 else 1
         # match reference: init phase order=min(step, 2); final step order
@@ -228,6 +231,7 @@ class GaussianDiffusion(nn.Module):
     spec_min: Optional[Sequence[float]] = None
     spec_max: Optional[Sequence[float]] = None
     noise_predictor: Optional[str] = None
+    unipc_variant: str = "bh2"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -421,9 +425,12 @@ class GaussianDiffusion(nn.Module):
         return x
 
     def _sample_unipc(self, x, features, steps, x_masks, cond_masks, t_start=None):
-        """UniPC order-2 bh2 multistep sampling, all coefficients precomputed
-        (see ``unipc_step_table``). One denoiser eval per step."""
-        table = unipc_step_table(self.coeffs, steps, t_start)
+        """UniPC order-2 multistep sampling (variant bh2 default, bh1 via
+        config), all coefficients precomputed (see ``unipc_step_table``).
+        One denoiser eval per step."""
+        table = unipc_step_table(
+            self.coeffs, steps, t_start, variant=self.unipc_variant
+        )
         jt = {k: jnp.asarray(v) for k, v in table.items()}
 
         def model_x0(x, grid_idx):
