@@ -104,6 +104,12 @@ class Trainer:
 
         self.ema_momentum = config.get("ema_momentum", None)
 
+        # LoRA fine-tuning (reference diffsinger.py:190-209 via loralib;
+        # here a functional adapter pytree, training/lora.py)
+        self.lora = config.get("lora", False)
+        self.lora_rank = config.get("lora_rank", 16)
+        self.lora_alpha = config.get("lora_alpha", 16.0)
+
         self.optimizer = build_optimizer(
             dict(config.optimizer),
             dict(config.scheduler) if config.get("scheduler") else None,
@@ -136,24 +142,46 @@ class Trainer:
             except Exception as e:
                 print(f"[trainer] vocoder unavailable for validation audio: {e}")
 
-        self._train_step = make_train_step(
-            self.model, self.optimizer, self.ema_momentum, self.mesh
-        )
+        if self.lora:
+            from .lora import make_lora_train_step
+
+            self._train_step = make_lora_train_step(
+                self.model, self.optimizer, self.lora_alpha, self.lora_rank,
+                self.mesh,
+            )
+        else:
+            self._train_step = make_train_step(
+                self.model, self.optimizer, self.ema_momentum, self.mesh
+            )
         self._sample_rate = config.get("sampling_rate", 44100)
 
     # -- state ------------------------------------------------------------
 
-    def init_state(self, example_batch, seed: int = 42) -> TrainState:
+    def init_state(self, example_batch, seed: int = 42):
         batch = {k: jnp.asarray(v) for k, v in _clean_batch(example_batch).items()}
-        return create_train_state(
+        base = create_train_state(
             self.model,
             batch,
             jax.random.PRNGKey(seed),
             self.optimizer,
-            ema_momentum=self.ema_momentum,
+            ema_momentum=None if self.lora else self.ema_momentum,
         )
+        if self.lora:
+            from .lora import create_lora_state
 
-    def load_pretrained(self, state: TrainState, pretrained_params) -> TrainState:
+            return create_lora_state(
+                base.params, self.optimizer, rank=self.lora_rank,
+                rng=jax.random.PRNGKey(seed + 1),
+            )
+        return base
+
+    def load_pretrained(self, state, pretrained_params):
+        if self.lora:
+            return state.replace(
+                base_params=load_pretrained_params(
+                    pretrained_params, state.base_params
+                )
+            )
         params = load_pretrained_params(pretrained_params, state.params)
         new = state.replace(params=params)
         if state.ema_params is not None:
@@ -191,15 +219,14 @@ class Trainer:
                 t_last = now
 
                 if step % self.log_every_n_steps == 0:
-                    self.logger.log_scalars(
-                        step,
-                        {
-                            "train_loss": metrics["loss"],
-                            "grad_norm": metrics["grad_norm"],
-                            "lr": self.lr_schedule(step),
-                            "steps_per_sec": 1.0 / max(np.mean(step_times[-20:]), 1e-9),
-                        },
-                    )
+                    scalars = {
+                        "train_loss": metrics["loss"],
+                        "lr": self.lr_schedule(step),
+                        "steps_per_sec": 1.0 / max(np.mean(step_times[-20:]), 1e-9),
+                    }
+                    if "grad_norm" in metrics:
+                        scalars["grad_norm"] = metrics["grad_norm"]
+                    self.logger.log_scalars(step, scalars)
                     step_times = step_times[-20:]
 
                 if step % self.val_check_interval == 0 or step >= self.max_steps:
@@ -211,10 +238,10 @@ class Trainer:
 
     # -- validation -------------------------------------------------------
 
-    def validate(self, state: TrainState, valid_loader, step: int) -> float:
+    def validate(self, state, valid_loader, step: int) -> float:
         losses = []
         first = True
-        params = state.inference_params()
+        params = self._inference_params(state)
 
         for batch in valid_loader:
             clean = _clean_batch(batch)
@@ -234,6 +261,15 @@ class Trainer:
         val_loss = float(np.mean(losses)) if losses else float("nan")
         self.logger.log_scalars(step, {"valid_loss": val_loss})
         return val_loss
+
+    def _inference_params(self, state):
+        if self.lora:
+            from .lora import merge_lora
+
+            return merge_lora(
+                state.base_params, state.lora, self.lora_alpha, self.lora_rank
+            )
+        return state.inference_params()
 
     def _log_samples(self, params, jb, batch, step):
         """Full reverse diffusion on the first valid batch; log mel figures

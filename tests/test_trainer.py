@@ -216,3 +216,28 @@ class TestGANv1Flavor:
         # v1 adds feature-matching and multi-STFT losses
         for k in ("loss_d", "loss_g", "loss_fm", "loss_stft"):
             assert np.isfinite(float(metrics[k])), k
+
+
+class TestTrainerLoRA:
+    def test_lora_fit(self, tmp_path):
+        from fish_diffusion_tpu.datasets import build_loader_from_config
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        cfg = tiny_config(tmp_path)
+        cfg["lora"] = True
+        cfg["lora_rank"] = 4
+        cfg["ema_momentum"] = None
+
+        trainer = Trainer(cfg, log_dir=str(tmp_path / "logs_lora"))
+        train_loader, valid_loader = build_loader_from_config(
+            cfg, trainer.n_devices
+        )
+        state = trainer.fit(train_loader, valid_loader)
+        assert int(state.step) == 3
+        # base frozen structure intact; adapters exist
+        assert state.base_params is not None
+        flat = [
+            leaf
+            for leaf in jax.tree_util.tree_leaves(state.lora)
+        ]
+        assert flat, "no adapters created"
