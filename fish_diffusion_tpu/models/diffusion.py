@@ -320,7 +320,7 @@ class GaussianDiffusion(nn.Module):
 
     # -- samplers -----------------------------------------------------------
 
-    def _sample_naive(self, x, features, ts, x_masks, cond_masks, rng):
+    def _sample_naive(self, x, denoise, ts, rng):
         """DDPM ancestral sampling as one scan (reference
         noise_predictor.py:19-105, diffusion.py:246-253)."""
         c = self.coeffs
@@ -336,10 +336,7 @@ class GaussianDiffusion(nn.Module):
             x, rng = carry
             rng, step_rng = jax.random.split(rng)
 
-            eps = self.denoise_fn(
-                x, t[None].repeat(x.shape[0]), features,
-                x_masks=x_masks, cond_masks=cond_masks,
-            )
+            eps = denoise(x, t[None].repeat(x.shape[0]))
             x0 = tables["sqrt_recip"][t] * x - tables["sqrt_recipm1"][t] * eps
             x0 = jnp.clip(x0, -1.0, 1.0)
 
@@ -352,7 +349,7 @@ class GaussianDiffusion(nn.Module):
         (x, _), _ = jax.lax.scan(body, (x, rng), ts)
         return x
 
-    def _sample_plms(self, x, features, ts, sampler_interval, x_masks, cond_masks):
+    def _sample_plms(self, x, denoise, ts, sampler_interval):
         """PLMS multistep sampling as one scan (reference
         noise_predictor.py:107-148, diffusion.py:269-311).
 
@@ -383,16 +380,11 @@ class GaussianDiffusion(nn.Module):
             t_prev = jnp.maximum(t - sampler_interval, 0)
             tb = t[None].repeat(x.shape[0])
 
-            noise_pred = self.denoise_fn(
-                x, tb, features, x_masks=x_masks, cond_masks=cond_masks
-            )
+            noise_pred = denoise(x, tb)
 
             def stage0(_):
                 x_pred = transfer(x, noise_pred, t, t_prev)
-                noise_prev = self.denoise_fn(
-                    x_pred, t_prev[None].repeat(x.shape[0]), features,
-                    x_masks=x_masks, cond_masks=cond_masks,
-                )
+                noise_prev = denoise(x_pred, t_prev[None].repeat(x.shape[0]))
                 return (noise_pred + noise_prev) / 2
 
             def stage1(_):
@@ -424,7 +416,7 @@ class GaussianDiffusion(nn.Module):
         (x, _, _), _ = jax.lax.scan(body, (x, noise_hist0, jnp.int32(0)), ts)
         return x
 
-    def _sample_unipc(self, x, features, steps, x_masks, cond_masks, t_start=None):
+    def _sample_unipc(self, x, denoise, steps, t_start=None):
         """UniPC order-2 multistep sampling (variant bh2 default, bh1 via
         config), all coefficients precomputed (see ``unipc_step_table``).
         One denoiser eval per step."""
@@ -437,9 +429,7 @@ class GaussianDiffusion(nn.Module):
             """data-prediction model at grid point (uni_pc.py:341-352)."""
             t_model = jt["model_times"][grid_idx]
             tb = t_model[None].repeat(x.shape[0])
-            noise = self.denoise_fn(
-                x, tb, features, x_masks=x_masks, cond_masks=cond_masks
-            )
+            noise = denoise(x, tb)
             alpha_t = jt["alpha_in"][grid_idx]
             sigma_t = jt["sigma_in"][grid_idx]
             return (x - sigma_t * noise) / alpha_t
@@ -517,12 +507,26 @@ class GaussianDiffusion(nn.Module):
         ts = np.arange(0, self.timesteps - skip_steps, sampler_interval)[::-1]
         ts = jnp.asarray(ts.copy(), jnp.int32)
 
+        # hoist the per-block conditioner projections out of the sampling
+        # scan when the denoiser supports it (constant across timesteps)
+        if hasattr(self.denoise_fn, "project_conditioner"):
+            cond_stack = self.denoise_fn.project_conditioner(features, cond_masks)
+
+            def denoise(xt, tb):
+                return self.denoise_fn(
+                    xt, tb, cond_stack, x_masks=x_masks, cond_is_projected=True
+                )
+
+        else:
+            def denoise(xt, tb):
+                return self.denoise_fn(
+                    xt, tb, features, x_masks=x_masks, cond_masks=cond_masks
+                )
+
         if noise_predictor == "naive":
-            x = self._sample_naive(x, features, ts, x_masks, cond_masks, rng)
+            x = self._sample_naive(x, denoise, ts, rng)
         elif noise_predictor == "plms":
-            x = self._sample_plms(
-                x, features, ts, sampler_interval, x_masks, cond_masks
-            )
+            x = self._sample_plms(x, denoise, ts, sampler_interval)
         elif noise_predictor == "unipc":
             steps = self.timesteps // sampler_interval
             t_start = None
@@ -530,9 +534,7 @@ class GaussianDiffusion(nn.Module):
                 # shallow diffusion: solve only from the warm-start time
                 steps = max((self.timesteps - skip_steps) // sampler_interval, 2)
                 t_start = (self.timesteps - skip_steps) / self.timesteps
-            x = self._sample_unipc(
-                x, features, steps, x_masks, cond_masks, t_start
-            )
+            x = self._sample_unipc(x, denoise, steps, t_start)
         else:
             raise NotImplementedError(
                 f"Unknown noise predictor: {noise_predictor}"

@@ -44,6 +44,7 @@ class ResidualBlock(nn.Module):
 
     residual_channels: int
     use_linear_bias: bool = False
+    cond_is_projected: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -55,7 +56,13 @@ class ResidualBlock(nn.Module):
         y = x + step[:, None, :]
 
         y = DilatedConvK3(2 * r, use_bias=True, dtype=self.dtype, name="conv_layer")(y, dilation)
-        y = y + Conv1x1(2 * r, dtype=self.dtype, name="conditioner_projection")(conditioner)
+        if self.cond_is_projected:
+            # sampling fast path: the per-block conditioner projection was
+            # hoisted out of the reverse-diffusion scan (the condition is
+            # constant across timesteps); ``conditioner`` is already [.., 2r]
+            y = y + conditioner
+        else:
+            y = y + Conv1x1(2 * r, dtype=self.dtype, name="conditioner_projection")(conditioner)
 
         gate, filt = jnp.split(y, 2, axis=-1)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
@@ -88,6 +95,24 @@ class WaveNet(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
 
+    def project_conditioner(
+        self, conditioner: jax.Array, cond_masks: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Hoist the per-block conditioner projections out of a sampling
+        scan: [B, T, d_enc] -> [n_layers, B, T, 2r]. The condition is
+        constant across reverse-diffusion timesteps, so this runs once per
+        sampling call instead of once per denoiser eval (~11% of the
+        denoiser FLOPs at default sizes)."""
+        conditioner = conditioner.astype(self.dtype)
+        if cond_masks is not None:
+            conditioner = jnp.where(cond_masks[:, :, None], 0.0, conditioner)
+
+        p = self.variables["params"]["residual_layers"]["conditioner_projection"]["Dense_0"]
+        kernel = jnp.asarray(p["kernel"], self.dtype)  # [L, d_enc, 2r]
+        bias = jnp.asarray(p["bias"], self.dtype)  # [L, 2r]
+        out = jnp.einsum("btc,lcr->lbtr", conditioner, kernel)
+        return out + bias[:, None, None, :]
+
     @nn.compact
     def __call__(
         self,
@@ -96,6 +121,7 @@ class WaveNet(nn.Module):
         conditioner: jax.Array,
         x_masks: Optional[jax.Array] = None,
         cond_masks: Optional[jax.Array] = None,
+        cond_is_projected: bool = False,
     ) -> jax.Array:
         r = self.residual_channels
         compute_dtype = self.dtype
@@ -113,7 +139,7 @@ class WaveNet(nn.Module):
 
         if x_masks is not None:
             x = jnp.where(x_masks[:, :, None], 0.0, x)
-        if cond_masks is not None:
+        if cond_masks is not None and not cond_is_projected:
             conditioner = jnp.where(cond_masks[:, :, None], 0.0, conditioner)
 
         if self.dilation_cycle:
@@ -136,7 +162,7 @@ class WaveNet(nn.Module):
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(0, nn.broadcast, nn.broadcast),
+            in_axes=(0, 0 if cond_is_projected else nn.broadcast, nn.broadcast),
             length=self.residual_layers,
         )
 
@@ -144,6 +170,7 @@ class WaveNet(nn.Module):
         (x, skip_sum), _ = ScannedBlocks(
             residual_channels=r,
             use_linear_bias=self.use_linear_bias,
+            cond_is_projected=cond_is_projected,
             dtype=compute_dtype,
             name="residual_layers",
         )((x, skip0), jnp.asarray(dilations), conditioner, step)

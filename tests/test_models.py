@@ -282,3 +282,29 @@ class TestSamplers:
         # oracle denoiser predicts the true noise only for ITS x0; loss is
         # just finite and nonnegative here
         assert np.isfinite(float(out["loss"]))
+
+
+class TestHoistedConditioner:
+    def test_projected_path_matches_unprojected(self):
+        """The sampling fast path (hoisted per-block conditioner projection)
+        must produce identical denoiser output."""
+        cfg = small_wavenet_config()
+        cfg.pop("type")
+        model = WaveNet(**cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8))
+        t = jnp.array([5, 50])
+        masks = jnp.zeros((B, T), bool).at[:, T - 4 :].set(True)
+
+        params = model.init(jax.random.PRNGKey(2), x, t, cond)
+        ref = model.apply(params, x, t, cond, x_masks=masks, cond_masks=masks)
+
+        cond_stack = model.apply(
+            params, cond, masks, method=model.project_conditioner
+        )
+        fast = model.apply(
+            params, x, t, cond_stack, x_masks=masks, cond_is_projected=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(fast), atol=1e-5, rtol=1e-5
+        )

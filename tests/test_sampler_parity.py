@@ -133,15 +133,12 @@ class TestUniPCParity:
         # mine: drive _sample_unipc with the same x0 (channels-last)
         diff, variables, feats = build_mine("unipc", interval)
         x0_j = jnp.asarray(np.swapaxes(x0, 1, 2))
-        mine = diff.apply(
-            variables,
-            x0_j,
-            feats,
-            steps,
-            None,
-            None,
-            method=diff._sample_unipc,
-        )
+
+        def run(mdl, x, feats, steps):
+            denoise = lambda xt, tb: mdl.denoise_fn(xt, tb, feats)
+            return mdl._sample_unipc(x, denoise, steps)
+
+        mine = diff.apply(variables, x0_j, feats, steps, method=run)
         mine = np.swapaxes(np.asarray(mine), 1, 2)
 
         np.testing.assert_allclose(mine, ref_out, atol=2e-4, rtol=1e-3)
