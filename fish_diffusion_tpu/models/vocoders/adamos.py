@@ -65,14 +65,40 @@ class ADaMoSConvNeXtBlock(nn.Module):
         return residual + x
 
 
+class ParallelADaMoSBlock(nn.Module):
+    """Multiple kernel sizes fused by averaging
+    (reference adamos/encoder.py ParallelConvNeXtBlock)."""
+
+    dim: int
+    kernel_sizes: Sequence[int] = (3, 7)
+    layer_scale_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        outs = [
+            ADaMoSConvNeXtBlock(
+                self.dim,
+                self.layer_scale_init_value,
+                kernel_size=k,
+                dtype=self.dtype,
+                name=f"k{k}",
+            )(x)
+            for k in self.kernel_sizes
+        ]
+        return sum(outs) / len(outs)
+
+
 class ConvNeXtEncoder(nn.Module):
-    """reference adamos/encoder.py:163-238."""
+    """reference adamos/encoder.py:163-238. ``kernel_sizes`` with more than
+    one entry switches the stages to ParallelADaMoSBlock."""
 
     input_channels: int = 128
     depths: Sequence[int] = (3, 3, 9, 3)
     dims: Sequence[int] = (128, 256, 384, 512)
     layer_scale_init_value: float = 1e-6
     kernel_size: int = 7
+    kernel_sizes: Sequence[int] = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -96,13 +122,22 @@ class ConvNeXtEncoder(nn.Module):
                 x = nn.Dense(dim, dtype=self.dtype, name=f"mid_proj_{i}")(x)
 
             for j in range(depth):
-                x = ADaMoSConvNeXtBlock(
-                    dim,
-                    self.layer_scale_init_value,
-                    kernel_size=self.kernel_size,
-                    dtype=self.dtype,
-                    name=f"stage_{i}_block_{j}",
-                )(x)
+                if len(self.kernel_sizes) > 1:
+                    x = ParallelADaMoSBlock(
+                        dim,
+                        tuple(self.kernel_sizes),
+                        self.layer_scale_init_value,
+                        dtype=self.dtype,
+                        name=f"stage_{i}_block_{j}",
+                    )(x)
+                else:
+                    x = ADaMoSConvNeXtBlock(
+                        dim,
+                        self.layer_scale_init_value,
+                        kernel_size=self.kernel_size,
+                        dtype=self.dtype,
+                        name=f"stage_{i}_block_{j}",
+                    )(x)
 
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="final_norm")(x)
 

@@ -348,6 +348,14 @@ class NsfHifiGAN:
             gen_cfg.update(generator_config)
         self.generator = NsfHifiGANGenerator(**gen_cfg)
 
+        # strict config-kwarg validation (reference nsf_hifigan.py:99-106:
+        # mismatched knobs fail loudly instead of silently desyncing the mel
+        # transform from the checkpoint)
+        assert int(np.prod(self.generator.upsample_rates)) == hop_length, (
+            f"upsample_rates {self.generator.upsample_rates} do not multiply "
+            f"to hop_length {hop_length}"
+        )
+
         self.params = None
         if checkpoint_path is not None:
             self.load_checkpoint(checkpoint_path)

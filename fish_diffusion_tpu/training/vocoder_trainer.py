@@ -135,7 +135,41 @@ class VocoderTrainer:
             self.tx_d,
         )
 
+    def validate(self, state, valid_loader, step: int):
+        """Mel-L1 on the valid set + a gt/pred audio artifact (reference
+        vocoder trainers log reconstruction audio per validation)."""
+        import jax
+
+        losses = []
+        first = True
+        for batch in valid_loader:
+            audio = jnp.asarray(batch["audio"]).reshape(len(batch["audio"]), -1)
+            pitches = jnp.asarray(batch["pitches"]).reshape(audio.shape[0], -1)
+            y_hat = self.generator_apply(
+                state.params_g,
+                {"audio": audio, "pitches": pitches},
+                jax.random.PRNGKey(0),
+            )
+            n = min(audio.shape[1], y_hat.shape[1])
+            mel_gt = self.mel_transform.wav2spec(audio[:, :n])
+            mel_hat = self.mel_transform.wav2spec(y_hat[:, :n])
+            losses.append(float(jnp.mean(jnp.abs(mel_gt - mel_hat))))
+
+            if first:
+                first = False
+                self.logger.log_audio(
+                    step, "val/gt", np.asarray(audio[0, :n]), self.sampling_rate
+                )
+                self.logger.log_audio(
+                    step, "val/pred", np.asarray(y_hat[0, :n]), self.sampling_rate
+                )
+
+        val = float(np.mean(losses)) if losses else float("nan")
+        self.logger.log_scalars(step, {"valid_mel_l1": val})
+        return val
+
     def fit(self, train_loader, max_steps: Optional[int] = None, resume=False,
+            valid_loader=None,
             log_every: int = 10, save_every: int = 5000, seed: int = 42):
         max_steps = max_steps or self.config.trainer.get("max_steps", 1_000_000)
         state = None
@@ -173,6 +207,8 @@ class VocoderTrainer:
                     t_last = now
 
                 if step % save_every == 0 or step >= max_steps:
+                    if valid_loader is not None:
+                        self.validate(state, valid_loader, step)
                     self.ckpt.save(state, {k: float(v) for k, v in metrics.items()})
 
                 if step >= max_steps:

@@ -31,7 +31,19 @@ def main():
         dataset, collate_fn=dataset.collate_fn, **dict(cfg.dataloader.train)
     )
 
-    trainer.fit(loader, resume=args.resume)
+    valid_loader = None
+    if cfg.dataset.get("valid"):
+        try:
+            valid_dataset = DATASETS.build(dict(cfg.dataset.valid))
+            valid_loader = DataLoader(
+                valid_dataset,
+                collate_fn=valid_dataset.collate_fn,
+                **dict(cfg.dataloader.valid),
+            )
+        except AssertionError:
+            pass  # no valid files present
+
+    trainer.fit(loader, resume=args.resume, valid_loader=valid_loader)
 
 
 if __name__ == "__main__":
