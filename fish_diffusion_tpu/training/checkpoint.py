@@ -42,9 +42,12 @@ class CheckpointManager:
 
     def save(self, state: TrainState, metrics: Optional[dict] = None):
         step = int(state.step)
+        # save as host numpy: checkpoints stay device-topology-agnostic
+        # (a 4-chip training run restores on a 1-chip inference host)
+        state_np = jax.device_get(state)
         self._mngr.save(
             step,
-            args=ocp.args.StandardSave(state),
+            args=ocp.args.StandardSave(state_np),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
         self._mngr.wait_until_finished()
