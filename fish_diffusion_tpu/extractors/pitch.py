@@ -29,7 +29,6 @@ ACFs are batched real FFTs — one jit per (sr, length-bucket).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ Inference-only: BatchNorm runs with converted running statistics.
 from __future__ import annotations
 
 import pickle
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

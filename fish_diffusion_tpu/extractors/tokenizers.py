@@ -17,7 +17,6 @@ requires network, which production TPU pods often lack — pass
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

@@ -30,8 +30,7 @@ from flax import linen as nn
 
 from ..ops.mel import stft_magnitude
 from ..registry import FEATURE_EXTRACTORS
-from .feature import BaseFeatureExtractor, resample_linear
-from .rmvpe import htk_mel_filter_bank
+from .feature import BaseFeatureExtractor
 
 Dtype = Any
 
@@ -59,7 +58,6 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.nd
 def whisper_log_mel(audio: np.ndarray) -> jnp.ndarray:
     """OpenAI Whisper log_mel_spectrogram equivalent: slaney mel over
     |stft|^2 with log10, clamped to max-8, scaled (x+4)/4."""
-    from .feature import resample_linear  # noqa: F401 (already resampled)
     from ..ops.mel import mel_filter_bank
 
     mag = stft_magnitude(

@@ -19,7 +19,6 @@ handful of compiled programs; padding is masked out of the condition.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Optional
 
@@ -166,11 +165,12 @@ class SVCInference:
     # -- per-segment forward ------------------------------------------------
 
     def _sample_fn(self, n_frames: int, sampler_interval, skip_steps, predictor,
-                   shallow: bool):
-        key = (n_frames, sampler_interval, skip_steps, predictor, shallow)
+                   shallow: bool, has_energy: bool, has_pitch_shift: bool):
+        key = (n_frames, sampler_interval, skip_steps, predictor, shallow,
+               has_energy, has_pitch_shift)
         if key not in self._sample_cache:
             def fn(params, speakers, contents, contents_lens, pitches,
-                   original_mel, rng):
+                   original_mel, energy, pitch_shift, rng):
                 return self.model.apply(
                     {"params": params},
                     speakers=speakers,
@@ -178,6 +178,8 @@ class SVCInference:
                     contents_lens=contents_lens,
                     mel_lens=contents_lens,
                     pitches=pitches,
+                    energy=energy,
+                    pitch_shift=pitch_shift,
                     sampler_interval=sampler_interval,
                     skip_steps=skip_steps,
                     original_mel=original_mel if shallow else None,
@@ -198,8 +200,14 @@ class SVCInference:
         skip_steps: int = 0,
         noise_predictor: Optional[str] = None,
         seed: int = 0,
+        pitches: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """One audio segment -> converted audio (reference inference.py:81-162)."""
+        """One audio segment -> converted audio (reference inference.py:81-162).
+
+        ``pitches``: optional externally-supplied frame f0 curve; bypasses the
+        pitch extractor (reference inference.py:107-111) — the curve is
+        repeat_expand-ed to the mel length and NaNs are zeroed.
+        """
         mel_len = len(audio) // self.hop_length
         bucket = _bucket_for(mel_len)
 
@@ -210,15 +218,19 @@ class SVCInference:
             (0, bucket * self.hop_length - len(audio)),
         )
 
-        f0_raw = np.asarray(
-            self.pitch_extractor(audio_padded, self.sampling_rate, pad_to=None)
-        )
-        n_true = int(np.ceil(len(audio) / self.pitch_extractor.hop_length))
-        pitches = np.asarray(
-            self.pitch_extractor.post_process(
-                audio, self.sampling_rate, f0_raw[:n_true], mel_len
+        if pitches is not None:
+            pitches = np.nan_to_num(np.asarray(pitches, np.float32))
+            pitches = np.asarray(repeat_expand(jnp.asarray(pitches), mel_len))
+        else:
+            f0_raw = np.asarray(
+                self.pitch_extractor(audio_padded, self.sampling_rate, pad_to=None)
             )
-        )
+            n_true = int(np.ceil(len(audio) / self.pitch_extractor.hop_length))
+            pitches = np.asarray(
+                self.pitch_extractor.post_process(
+                    audio, self.sampling_rate, f0_raw[:n_true], mel_len
+                )
+            )
         pitches = pitches * 2 ** (pitch_adjust / 12)
         if (pitches == 0).all():
             return np.zeros_like(audio)  # no voice, skip (inference.py:112)
@@ -237,6 +249,23 @@ class SVCInference:
         contents_p = np.pad(contents, ((0, pad), (0, 0)))
         pitches_p = np.pad(pitches, (0, pad))
 
+        # optional conditions (reference inference.py:122-131): energy from
+        # the configured extractor; pitch shift pinned to 0 at inference
+        # "to avoid distortion"
+        energy = None
+        if self.energy_extractor is not None and self.config.model.get(
+            "energy_encoder"
+        ):
+            e = np.asarray(
+                self.energy_extractor(audio, self.sampling_rate, pad_to=mel_len)
+            )
+            energy = jnp.asarray(np.pad(e, (0, pad)))[None, :, None]
+        pitch_shift = (
+            jnp.zeros((1, 1))
+            if self.config.model.get("pitch_shift_encoder")
+            else None
+        )
+
         shallow = skip_steps > 0
         original_mel = None
         if shallow:
@@ -251,6 +280,8 @@ class SVCInference:
             skip_steps,
             noise_predictor,
             shallow,
+            energy is not None,
+            pitch_shift is not None,
         )
         mel_out = fn(
             self.params,
@@ -259,6 +290,8 @@ class SVCInference:
             jnp.asarray([mel_len], jnp.int32),
             jnp.asarray(pitches_p)[None],
             jnp.asarray(original_mel) if original_mel is not None else None,
+            energy,
+            pitch_shift,
             jax.random.PRNGKey(seed),
         )
 
@@ -283,6 +316,7 @@ class SVCInference:
         max_slice_duration: float = 30.0,
         min_silence_duration: float = 0,
         pitches_path: Optional[str] = None,
+        extract_vocals: bool = False,
         seed: int = 0,
     ):
         """Full pipeline (reference inference.py:222-389)."""
@@ -295,9 +329,27 @@ class SVCInference:
 
             audio = resample_linear(audio, sr, self.sampling_rate)
 
+        if extract_vocals:
+            from ..utils.audio import separate_vocals
+
+            print("[inference] extracting vocals...")
+            audio, _ = separate_vocals(audio, self.sampling_rate)
+
         # loudness norm (reference uses pyloudnorm)
         rms = np.sqrt(np.mean(audio**2) + 1e-12)
         audio = np.clip(audio * (10 ** (-23 / 20) / (rms + 1e-12)), -1, 1)
+
+        # pitch-curve restore (reference inference.py:319-333): a .json list
+        # or .npy array of frame f0s covering the whole input
+        full_pitches = None
+        if pitches_path is not None:
+            if Path(pitches_path).suffix == ".json":
+                import json
+
+                with open(pitches_path) as f:
+                    full_pitches = np.asarray(json.load(f), np.float32)
+            else:
+                full_pitches = np.load(pitches_path).astype(np.float32)
 
         speakers = self.parse_speaker(speaker)
 
@@ -315,6 +367,11 @@ class SVCInference:
 
         for i, (start, end) in enumerate(segments):
             segment = audio[start:end]
+            seg_pitches = None
+            if full_pitches is not None:
+                seg_pitches = full_pitches[
+                    start // self.hop_length : end // self.hop_length
+                ]
             out = self.forward(
                 segment,
                 speakers,
@@ -323,12 +380,9 @@ class SVCInference:
                 skip_steps=skip_steps,
                 noise_predictor=noise_predictor,
                 seed=seed + i,
+                pitches=seg_pitches,
             )
             generated[start : start + len(out)] = out[: end - start]
-
-        if pitches_path:
-            # restore pitch curve artifacts (reference inference.py:322-333)
-            pass
 
         save_wav(output_path, generated, self.sampling_rate)
         return generated

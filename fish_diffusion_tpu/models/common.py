@@ -9,7 +9,7 @@ Conventions (TPU-first, differ from the torch reference):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..ops.mel import LogMelSpectrogram, stft_magnitude

@@ -13,7 +13,7 @@ Used for TTS where no pitch is available. Channels-last [B, T, C].
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

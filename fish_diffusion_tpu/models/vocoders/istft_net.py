@@ -19,9 +19,8 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.mel import LogMelSpectrogram, istft
-from ...ops.tensor import repeat_expand
 from ...registry import VOCODERS
-from .nsf_hifigan import ResBlock1, SourceModuleHnNSF
+from .nsf_hifigan import ResBlock1
 
 Dtype = Any
 

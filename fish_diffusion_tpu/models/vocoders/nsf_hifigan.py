@@ -29,7 +29,6 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.mel import LogMelSpectrogram
-from ...ops.tensor import repeat_expand
 from ...registry import VOCODERS
 
 Dtype = Any

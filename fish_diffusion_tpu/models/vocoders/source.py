@@ -26,7 +26,7 @@ the NSF-HiFiGAN torch parity test).
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

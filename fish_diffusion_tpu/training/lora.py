@@ -16,7 +16,7 @@ by construction — no optax masking or requires_grad machinery needed), and
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import numpy as np
 from ..parallel import make_mesh, shard_batch
 from .checkpoint import CheckpointManager, load_pretrained_params
 from .optim import build_lr_schedule, build_optimizer
-from .state import TrainState, _model_kwargs, create_train_state, make_train_step
+from .state import _model_kwargs, create_train_state, make_train_step
 
 
 class MetricsLogger:

@@ -109,35 +109,30 @@ def separate_vocals(audio: np.ndarray, sr: int, device=None, separate_model=None
     this framework does not assume at runtime.
     """
     try:
-        from fish_audio_preprocess.utils import separate_audio  # type: ignore
+        import demucs  # type: ignore  # noqa: F401
     except ImportError:
-        try:
-            import demucs  # type: ignore  # noqa: F401
-        except ImportError:
-            raise RuntimeError(
-                "vocal separation needs the 'demucs' (or fish_audio_preprocess) "
-                "package with local htdemucs weights; install it or run "
-                "inference without --extract-vocals"
-            )
-        from demucs import pretrained, apply  # type: ignore
-        import torch
-
-        model = separate_model or pretrained.get_model("htdemucs")
-        wav = np.stack([audio, audio])
-        with torch.no_grad():
-            sources = apply.apply_model(
-                model, torch.from_numpy(wav[None]).float(), device=device or "cpu"
-            )[0]
-        names = model.sources
-        vocals = sources[names.index("vocals")].mean(0).numpy()
-        non_vocals = (
-            sum(sources[i] for i, n in enumerate(names) if n != "vocals")
-            .mean(0)
-            .numpy()
+        raise RuntimeError(
+            "vocal separation needs the 'demucs' package with local htdemucs "
+            "weights; install it or run inference without --extract-vocals"
         )
-        return vocals, non_vocals
 
-    raise RuntimeError("fish_audio_preprocess path not wired in this image")
+    import torch
+    from demucs import apply, pretrained  # type: ignore
+
+    model = separate_model or pretrained.get_model("htdemucs")
+    wav = np.stack([audio, audio])
+    with torch.no_grad():
+        sources = apply.apply_model(
+            model, torch.from_numpy(wav[None]).float(), device=device or "cpu"
+        )[0]
+    names = model.sources
+    vocals = sources[names.index("vocals")].mean(0).numpy()
+    non_vocals = (
+        sum(sources[i] for i, n in enumerate(names) if n != "vocals")
+        .mean(0)
+        .numpy()
+    )
+    return vocals, non_vocals
 
 
 def save_wav(path, audio: np.ndarray, sample_rate: int = 44100):

@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--silence-threshold", type=int, default=60)
     parser.add_argument("--max-slice-duration", type=float, default=30.0)
     parser.add_argument("--min-silence-duration", type=float, default=0)
+    parser.add_argument("--extract-vocals", action="store_true",
+                        help="separate vocals (needs local demucs weights)")
+    parser.add_argument("--pitches-path", type=str, default=None,
+                        help="restore a frame-f0 curve from .json/.npy")
     parser.add_argument("--batch", action="store_true",
                         help="treat input/output as directories")
     parser.add_argument("--seed", type=int, default=0)
@@ -44,6 +48,8 @@ def main():
         silence_threshold=args.silence_threshold,
         max_slice_duration=args.max_slice_duration,
         min_silence_duration=args.min_silence_duration,
+        extract_vocals=args.extract_vocals,
+        pitches_path=args.pitches_path,
         seed=args.seed,
     )
 
