@@ -5,6 +5,9 @@
   Perfetto/XProf trace directory (open with TensorBoard's profile plugin or
   ui.perfetto.dev)
 - ``StepTimer``: rolling per-step wall-time stats for the train loop
+- ``device_memory_report``: per-device live HBM usage from
+  ``jax.Device.memory_stats()`` (the OOM-debugging view torch users get from
+  ``torch.cuda.memory_summary``)
 """
 
 from __future__ import annotations
@@ -25,6 +28,34 @@ def profile_trace(log_dir: str = "logs/profile", create_perfetto_link: bool = Fa
     finally:
         jax.profiler.stop_trace()
         print(f"[profile] trace written to {log_dir}")
+
+
+def device_memory_report(devices=None) -> str:
+    """Human-readable per-device HBM usage table.
+
+    Uses ``Device.memory_stats()`` where the backend provides it (TPU does);
+    falls back to live-buffer accounting via ``jax.live_arrays`` elsewhere.
+    """
+    import jax
+
+    devices = devices if devices is not None else jax.devices()
+    lines = ["device               in-use       peak        limit"]
+    for d in devices:
+        stats = d.memory_stats() if hasattr(d, "memory_stats") else None
+        if stats:
+            in_use = stats.get("bytes_in_use", 0)
+            peak = stats.get("peak_bytes_in_use", 0)
+            limit = stats.get("bytes_limit", 0)
+        else:
+            in_use = sum(
+                a.nbytes for a in jax.live_arrays() if d in a.devices()
+            )
+            peak = limit = 0
+        fmt = lambda b: f"{b / 2**20:9.1f}MB" if b else "        --"
+        lines.append(
+            f"{str(d):<20} {fmt(in_use)} {fmt(peak)} {fmt(limit)}"
+        )
+    return "\n".join(lines)
 
 
 class StepTimer:
