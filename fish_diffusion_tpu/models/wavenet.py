@@ -74,6 +74,45 @@ class ResidualBlock(nn.Module):
         return (new_x, skip_sum + skip), None
 
 
+class SpectrogramUpsampler(nn.Module):
+    """Frame-rate -> sample-rate conditioner upsampling for raw-audio
+    DiffWave conditioning (reference wavenet.py:123-149; defined there for
+    hop 256/512, unused by the mel-space archs — kept for capability parity).
+
+    TPU-native: two channels-last 2-D transposed convs over [B, T, M, 1]
+    (time x mel-bin plane), leaky-relu(0.4) after each, so the time axis
+    expands 16x16 / 32x16 on the MXU rather than via gathers.
+    """
+
+    hop_size: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        """mel [B, T, M] -> [B, T*hop, M]."""
+        if self.hop_size == 256:
+            k1, s1, p1 = 32, 16, 8
+        elif self.hop_size == 512:
+            k1, s1, p1 = 64, 32, 16
+        else:
+            raise ValueError(f"Unsupported hop_size: {self.hop_size}")
+
+        x = mel[..., None]  # [B, T, M, 1]
+        x = nn.ConvTranspose(
+            1, kernel_size=(k1, 3), strides=(s1, 1),
+            padding=[(k1 - 1 - p1, k1 - 1 - p1), (1, 1)],
+            transpose_kernel=True, dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.leaky_relu(x, 0.4)
+        x = nn.ConvTranspose(
+            1, kernel_size=(32, 3), strides=(16, 1),
+            padding=[(32 - 1 - 8, 32 - 1 - 8), (1, 1)],
+            transpose_kernel=True, dtype=self.dtype, name="conv2",
+        )(x)
+        x = nn.leaky_relu(x, 0.4)
+        return x[..., 0]
+
+
 @DENOISERS.register_module(name="WaveNetDenoiser")
 class WaveNet(nn.Module):
     """WaveNet denoiser.

@@ -153,6 +153,58 @@ class TestWaveNet:
         np.testing.assert_allclose(np.asarray(out[:, T // 2 :]), 0.0, atol=1e-6)
 
 
+class TestSpectrogramUpsampler:
+    """Reference wavenet.py:123-149: frame->sample-rate conditioner, 2-stage
+    transposed conv, out_len = T * hop exactly."""
+
+    @pytest.mark.parametrize("hop", [256, 512])
+    def test_output_length(self, hop):
+        from fish_diffusion_tpu.models.wavenet import SpectrogramUpsampler
+
+        m = SpectrogramUpsampler(hop_size=hop)
+        mel = jnp.ones((1, 6, 32))
+        y, _ = m.init_with_output(jax.random.PRNGKey(0), mel)
+        assert y.shape == (1, 6 * hop, 32)
+
+    def test_torch_parity(self):
+        """Bit-level parity of the upsampling geometry with the torch
+        formulation (ConvTranspose2d stride [1,16]/[1,32] over [B,1,M,T])."""
+        import torch
+
+        from fish_diffusion_tpu.models.wavenet import SpectrogramUpsampler
+
+        torch.manual_seed(0)
+        c1 = torch.nn.ConvTranspose2d(1, 1, [3, 64], stride=[1, 32], padding=[1, 16])
+        c2 = torch.nn.ConvTranspose2d(1, 1, [3, 32], stride=[1, 16], padding=[1, 8])
+        mel_t = torch.randn(1, 12, 16)  # [B, M, T] (torch layout, M as H)
+        with torch.no_grad():
+            ref = c2(torch.nn.functional.leaky_relu(c1(mel_t[:, None]), 0.4))
+            ref = torch.nn.functional.leaky_relu(ref, 0.4)[:, 0]
+
+        m = SpectrogramUpsampler(hop_size=512)
+        params = m.init(jax.random.PRNGKey(0), jnp.ones((1, 16, 12)))
+
+        def conv_w(c):
+            # torch CT2d weight [in=1, out=1, kH(m), kW(t)] ->
+            # flax transpose_kernel [kt, km, out, in] ... our kernel_size=(kt, km)
+            w = c.weight.detach().numpy()[0, 0]  # [km, kt]
+            return w.T[:, :, None, None]  # [kt, km, 1, 1]
+
+        params = {
+            "params": {
+                "conv1": {"kernel": jnp.asarray(conv_w(c1)),
+                          "bias": jnp.asarray(c1.bias.detach().numpy())},
+                "conv2": {"kernel": jnp.asarray(conv_w(c2)),
+                          "bias": jnp.asarray(c2.bias.detach().numpy())},
+            }
+        }
+        # mel [B, T, M] channels-last
+        out = m.apply(params, jnp.asarray(mel_t.numpy().transpose(0, 2, 1)))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.numpy().transpose(0, 2, 1), atol=2e-5
+        )
+
+
 class TestScheduleCoefficients:
     def test_posterior_closed_form(self):
         betas = get_noise_schedule_list("linear", 100)
