@@ -69,12 +69,19 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # native parallel path: PackedDataset fans the batch's reads across
+        # a C++ pread pool (GIL released) instead of per-item python loads
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def producer():
             try:
                 for batch_idx in batches:
                     if stop.is_set():
                         return
-                    samples = [self.dataset[int(i)] for i in batch_idx]
+                    if get_batch is not None:
+                        samples = get_batch([int(i) for i in batch_idx])
+                    else:
+                        samples = [self.dataset[int(i)] for i in batch_idx]
                     batch = (
                         self.collate_fn(samples) if self.collate_fn else samples
                     )

@@ -53,14 +53,18 @@ def pad_and_stack(
     if bucket:
         max_len = _round_up(max_len, bucket)
 
-    padded = []
-    for arr in x:
-        pad_width = [(0, 0)] * arr.ndim
-        axis = dim if dim >= 0 else arr.ndim + dim
-        pad_width[axis] = (0, max_len - arr.shape[dim])
-        padded.append(np.pad(arr, pad_width))
+    # single-copy collation: slice-assign into one preallocated output
+    # (np.pad-then-stack would copy every sample twice)
+    axis = dim if dim >= 0 else x[0].ndim + dim
+    out_shape = list(x[0].shape)
+    out_shape[axis] = max_len
+    out = np.zeros((len(x), *out_shape), x[0].dtype)
+    sl = [slice(None)] * x[0].ndim
+    for i, arr in enumerate(x):
+        sl[axis] = slice(0, arr.shape[axis])
+        out[i][tuple(sl)] = arr
 
-    return np.stack(padded), lens, max_len
+    return out, lens, max_len
 
 
 def transform_pipeline(

@@ -8,7 +8,7 @@ import tempfile
 from pathlib import Path
 
 _SRC_DIR = Path(__file__).parent
-_SOURCES = ["monotonic_align.cpp"]
+_SOURCES = ["monotonic_align.cpp", "datapack.cpp"]
 _LIB = None
 
 
