@@ -93,6 +93,7 @@ def make_train_step(
     ema_momentum: Optional[float] = None,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
@@ -143,10 +144,14 @@ def make_train_step(
     if mesh is not None:
         replicated = NamedSharding(mesh, P())
         batch_shard = NamedSharding(mesh, P("data"))
+        # state_shardings: a pytree of NamedShardings matching TrainState
+        # (e.g. from parallel.fsdp.fsdp_state_shardings) keeps params and
+        # optimizer moments sharded across steps (ZeRO-3); default replicates
+        state_sh = state_shardings if state_shardings is not None else replicated
         return jax.jit(
             step_fn,
-            in_shardings=(replicated, batch_shard, replicated),
-            out_shardings=(replicated, replicated),
+            in_shardings=(state_sh, batch_shard, replicated),
+            out_shardings=(state_sh, replicated),
             donate_argnums=(0,) if donate else (),
         )
 
