@@ -33,6 +33,7 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 42,
         persistent_workers: bool = True,  # accepted for config parity; no-op
+        process_shard=None,  # (rank, world): DistributedSampler-style split
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -43,9 +44,12 @@ class DataLoader:
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        self.process_shard = process_shard
 
     def __len__(self):
         n = len(self.dataset)
+        if self.process_shard is not None:
+            n = n // self.process_shard[1]
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -53,7 +57,12 @@ class DataLoader:
     def _batch_indices(self):
         indices = np.arange(len(self.dataset))
         if self.shuffle:
+            # all processes share the seed -> identical permutation, then a
+            # strided rank split (torch DistributedSampler semantics)
             self._rng.shuffle(indices)
+        if self.process_shard is not None:
+            rank, world = self.process_shard
+            indices = indices[rank::world]
         n_full = len(indices) // self.batch_size
         batches = [
             indices[i * self.batch_size : (i + 1) * self.batch_size]
@@ -104,9 +113,25 @@ class DataLoader:
 
 def build_loader_from_config(cfg, num_devices: int = 1):
     """Build (train_loader, valid_loader) from a config
-    (reference datasets/utils.py:13-34)."""
+    (reference datasets/utils.py:13-34).
+
+    Multi-host: the configured train batch size is GLOBAL; each process gets
+    batch/process_count rows and a process-specific shuffle seed, so hosts
+    draw disjoint sample streams (the reference delegates the equivalent
+    split to Lightning's DistributedSampler).
+    """
+    import jax
+
     train_dataset = DATASETS.build(dict(cfg.dataset.train))
     train_cfg = dict(cfg.dataloader.train)
+    if jax.process_count() > 1:
+        global_bs = train_cfg.get("batch_size", 1)
+        assert global_bs % jax.process_count() == 0, (
+            f"global batch {global_bs} not divisible by "
+            f"{jax.process_count()} processes"
+        )
+        train_cfg["batch_size"] = global_bs // jax.process_count()
+        train_cfg["process_shard"] = (jax.process_index(), jax.process_count())
     train_loader = DataLoader(
         train_dataset, collate_fn=train_dataset.collate_fn, **train_cfg
     )

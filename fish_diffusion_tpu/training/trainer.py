@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh
+from ..parallel.distributed import make_global_batch
 from .checkpoint import CheckpointManager, load_pretrained_params
 from .optim import build_lr_schedule, build_optimizer
 from .state import _model_kwargs, create_train_state, make_train_step
@@ -208,8 +209,10 @@ class Trainer:
                         state = self.ckpt.restore(state)
                         print(f"[trainer] resumed at step {int(state.step)}")
 
-                sharded = shard_batch(
-                    {k: jnp.asarray(v) for k, v in clean.items()}, self.mesh
+                # multi-host: each process contributes only its local rows;
+                # single-host this is a plain batch-axis device_put
+                sharded = make_global_batch(
+                    {k: np.asarray(v) for k, v in clean.items()}, self.mesh
                 )
                 state, metrics = self._train_step(state, sharded, rng)
 

@@ -20,7 +20,8 @@ import numpy as np
 from ..models.vocoders.nsf_hifigan import NsfHifiGANGenerator
 from ..models.vocoders.refinegan import RefineGANGenerator
 from ..ops.mel import LogMelSpectrogram
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh
+from ..parallel.distributed import make_global_batch
 from .gan import Discriminators, create_gan_state, make_gan_train_step
 from .optim import build_optimizer
 from .trainer import MetricsLogger
@@ -191,7 +192,7 @@ class VocoderTrainer:
                     if resume and self.ckpt.latest_step() is not None:
                         state = self.ckpt.restore(state)
 
-                sharded = shard_batch(clean, self.mesh)
+                sharded = make_global_batch(clean, self.mesh)
                 state, metrics = self._train_step(state, sharded, rng)
 
                 step = int(state.step)

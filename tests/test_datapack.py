@@ -122,3 +122,25 @@ class TestPackedDataset:
                     np.testing.assert_array_equal(a[k], b[k])
                 else:
                     assert a[k] == b[k], k
+
+
+class TestProcessShard:
+    """DistributedSampler-equivalent index split (loader.process_shard)."""
+
+    def test_disjoint_and_complete(self, tmp_path):
+        d = _make_npy_dir(tmp_path, n=8)
+        ds = __import__(
+            "fish_diffusion_tpu.datasets.naive", fromlist=["NaiveSVCDataset"]
+        ).NaiveSVCDataset(str(d), speaker_id=0)
+
+        seen = []
+        for rank in range(2):
+            loader = DataLoader(
+                ds, batch_size=2, shuffle=True, num_workers=1,
+                process_shard=(rank, 2), seed=7,
+            )
+            assert len(loader) == 2  # 8 samples / 2 ranks / batch 2
+            idx = [b for batch in loader._batch_indices() for b in batch]
+            seen.append(set(int(i) for i in idx))
+        assert seen[0].isdisjoint(seen[1])
+        assert seen[0] | seen[1] == set(range(8))

@@ -41,6 +41,18 @@ def main():
 
     np.random.seed(args.seed)
 
+    # multi-node: join the cluster before any device access
+    # (configs/svc_content_vec_multi_node.py; env-gated, no-op single-host)
+    from fish_diffusion_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    if maybe_initialize_distributed():
+        print(
+            f"[train] multi-host: process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.device_count()} global devices"
+        )
+
     cfg = Config.fromfile(args.config)
 
     log_dir = Path(args.log_dir) / (args.name or Path(args.config).stem)

@@ -42,6 +42,12 @@ def main():
     from fish_diffusion_tpu.training.optim import build_optimizer
     from fish_diffusion_tpu.training.trainer import MetricsLogger
 
+    from fish_diffusion_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+
     cfg = Config.fromfile(args.config)
     mc = cfg.model
 

@@ -23,6 +23,12 @@ def main():
     from fish_diffusion_tpu.registry import DATASETS
     from fish_diffusion_tpu.training.vocoder_trainer import VocoderTrainer
 
+    from fish_diffusion_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+
     cfg = Config.fromfile(args.config)
     trainer = VocoderTrainer(cfg, log_dir=args.log_dir)
 
