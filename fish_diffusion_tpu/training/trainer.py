@@ -143,6 +143,12 @@ class Trainer:
             except Exception as e:
                 print(f"[trainer] vocoder unavailable for validation audio: {e}")
 
+        # FSDP (ZeRO-3 equivalent, parallel/fsdp.py): params + optimizer
+        # moments sharded over `data`; the step is built lazily in
+        # init_state because shardings need the concrete state tree
+        self.fsdp = bool(tc.get("fsdp", False))
+        self.fsdp_min_size = tc.get("fsdp_min_size", None)
+
         if self.lora:
             from .lora import make_lora_train_step
 
@@ -150,6 +156,8 @@ class Trainer:
                 self.model, self.optimizer, self.lora_alpha, self.lora_rank,
                 self.mesh,
             )
+        elif self.fsdp:
+            self._train_step = None
         else:
             self._train_step = make_train_step(
                 self.model, self.optimizer, self.ema_momentum, self.mesh
@@ -174,6 +182,18 @@ class Trainer:
                 base.params, self.optimizer, rank=self.lora_rank,
                 rng=jax.random.PRNGKey(seed + 1),
             )
+        if self.fsdp:
+            from ..parallel.fsdp import DEFAULT_MIN_SIZE, fsdp_state_shardings
+
+            shardings = fsdp_state_shardings(
+                base, self.mesh,
+                min_size=self.fsdp_min_size or DEFAULT_MIN_SIZE,
+            )
+            self._train_step = make_train_step(
+                self.model, self.optimizer, self.ema_momentum, self.mesh,
+                state_shardings=shardings,
+            )
+            return jax.tree_util.tree_map(jax.device_put, base, shardings)
         return base
 
     def load_pretrained(self, state, pretrained_params):

@@ -146,3 +146,30 @@ class TestFsdpTrainStep:
         np.testing.assert_allclose(
             float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
         )
+
+
+class TestTrainerFsdpConfig:
+    def test_fit_with_fsdp_flag(self, tmp_path):
+        """trainer.fsdp=True drives the sharded-state path through the real
+        Trainer loop (fit -> checkpoint)."""
+        from test_trainer import tiny_config
+
+        from fish_diffusion_tpu.datasets import build_loader_from_config
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        cfg = tiny_config(tmp_path)
+        cfg.trainer["fsdp"] = True
+        cfg.trainer["fsdp_min_size"] = 64  # tiny model: shard small leaves too
+
+        trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+        train_loader, valid_loader = build_loader_from_config(cfg)
+        state = trainer.fit(train_loader, valid_loader)
+
+        assert int(state.step) == 3
+        n_sharded = sum(
+            1
+            for leaf in jax.tree_util.tree_leaves(state.params)
+            if hasattr(leaf, "sharding")
+            and any(s is not None for s in leaf.sharding.spec)
+        )
+        assert n_sharded > 0
