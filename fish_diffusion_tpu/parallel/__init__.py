@@ -11,6 +11,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .sp import shard_batch_sp
 from .tp import llama_param_shardings, shard_params
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "make_mesh",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_sp",
     "shard_params",
     "shard_params_fsdp",
 ]
