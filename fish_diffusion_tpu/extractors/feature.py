@@ -96,7 +96,7 @@ class ConvFeatureExtractor(nn.Module):
                 x = nn.GroupNorm(
                     num_groups=ch, dtype=self.dtype, name="group_norm"
                 )(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         return x
 
 
@@ -117,7 +117,7 @@ class TransformerLayer(nn.Module):
             x = x + y
             y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
             y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(y)
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=False)
             y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
             x = x + y
         else:
@@ -126,7 +126,7 @@ class TransformerLayer(nn.Module):
             )(x, x, x)
             x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + y)
             y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=False)
             y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
             x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
         return x
@@ -159,7 +159,7 @@ class HubertEncoder(nn.Module):
             dtype=self.dtype,
             name="pos_conv",
         )(x)[:, : x.shape[1]]
-        x = x + nn.gelu(pos)
+        x = x + nn.gelu(pos, approximate=False)
 
         if not self.layer_norm_first:
             x = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)

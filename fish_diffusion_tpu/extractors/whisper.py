@@ -95,7 +95,7 @@ class ResidualAttentionBlock(nn.Module):
 
         y = nn.LayerNorm(name="mlp_ln", dtype=self.dtype)(x)
         y = nn.Dense(self.n_state * 4, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.n_state, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
@@ -116,10 +116,10 @@ class WhisperAudioEncoder(nn.Module):
         x = jnp.swapaxes(mel, 1, 2).astype(self.dtype)  # [B, T, n_mels]
         x = nn.Conv(self.n_state, (3,), padding=[(1, 1)], name="conv1",
                     dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Conv(self.n_state, (3,), strides=(2,), padding=[(1, 1)],
                     name="conv2", dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
 
         pos = jnp.asarray(sinusoids(self.n_ctx, self.n_state))
         x = x + pos[None, : x.shape[1]]
@@ -147,7 +147,7 @@ class PhoneEncoder(nn.Module):
         x = nn.Embed(self.n_phones, self.n_state, dtype=self.dtype, name="proj")(
             phones.astype(jnp.int32)
         )
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         pos = jnp.asarray(sinusoids(self.n_ctx, self.n_state))
         x = x + pos[None, : x.shape[1]]
         for i in range(self.n_layer):

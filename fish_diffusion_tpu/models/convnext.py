@@ -97,7 +97,7 @@ class ConvNeXtBlock(nn.Module):
         x = DepthwiseConv7(self.dim, dtype=self.dtype, name="dwconv")(x, dilation)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
 
         if self.layer_scale_init_value is not None and self.layer_scale_init_value > 0:
@@ -165,7 +165,7 @@ class TransformerDecoderLayer(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + attn)
 
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
         x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x + y)
         return x
@@ -219,17 +219,17 @@ class ConvNext(nn.Module):
         conditioner = conditioner.astype(self.dtype)
 
         x = Conv1x1(self.dim, dtype=self.dtype, name="input_projection")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
 
         step = diffusion_embedding(diffusion_step, self.dim, dtype=self.dtype)
         step = nn.Dense(self.dim * self.mlp_factor, dtype=self.dtype, name="diff_mlp1")(step)
-        step = nn.gelu(step)
+        step = nn.gelu(step, approximate=False)
         step = nn.Dense(self.dim, dtype=self.dtype, name="diff_mlp2")(step)
 
         condition = Conv1x1(
             self.dim * self.mlp_factor, dtype=self.dtype, name="cond_proj1"
         )(conditioner)
-        condition = nn.gelu(condition)
+        condition = nn.gelu(condition, approximate=False)
         condition = Conv1x1(self.dim, dtype=self.dtype, name="cond_proj2")(condition)
 
         if x_masks is not None:
@@ -280,7 +280,7 @@ class ConvNext(nn.Module):
                 )(x, jnp.int32(dilations[i]), None if self.cross_attention else condition, step, x_masks, cond_masks)
 
         x = Conv1x1(self.dim, dtype=self.dtype, name="out_proj1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = Conv1x1(self.mel_channels, dtype=self.dtype, name="out_proj2")(x)
 
         if x_masks is not None:
@@ -307,7 +307,7 @@ class TransformerDecoderDenoiser(nn.Module):
         conditioner = conditioner.astype(self.dtype)
 
         x = Conv1x1(self.dim * self.mlp_factor, dtype=self.dtype, name="in_proj1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = Conv1x1(self.dim, dtype=self.dtype, name="in_proj2")(x)
 
         table = jnp.asarray(sinusoidal_positions(4096, self.dim))
@@ -318,12 +318,12 @@ class TransformerDecoderDenoiser(nn.Module):
         condition = Conv1x1(
             self.dim * self.mlp_factor, dtype=self.dtype, name="cond_proj1"
         )(conditioner)
-        condition = nn.gelu(condition)
+        condition = nn.gelu(condition, approximate=False)
         condition = Conv1x1(self.dim, dtype=self.dtype, name="cond_proj2")(condition)
 
         step = diffusion_embedding(diffusion_step, self.dim, dtype=self.dtype)
         step = nn.Dense(self.dim * self.mlp_factor, dtype=self.dtype, name="diff_mlp1")(step)
-        step = nn.gelu(step)
+        step = nn.gelu(step, approximate=False)
         step = nn.Dense(self.dim, dtype=self.dtype, name="diff_mlp2")(step)
 
         condition = condition + table[None, : condition.shape[1]] * scale_k + step[:, None, :]
@@ -347,7 +347,7 @@ class TransformerDecoderDenoiser(nn.Module):
             )(x, condition, x_masks, cond_masks)
 
         x = Conv1x1(self.dim, dtype=self.dtype, name="out_proj1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = Conv1x1(self.mel_channels, dtype=self.dtype, name="out_proj2")(x)
 
         if x_masks is not None:

@@ -67,7 +67,7 @@ class ConvFFN(nn.Module):
             name="ffn_1",
         )(x)
         x = x * self.kernel_size**-0.5
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="ffn_2")(x)
         return x
 

@@ -131,6 +131,88 @@ def convert_wavenet(sd: dict, prefix: str) -> dict:
     return params
 
 
+def convert_convnext(sd: dict, prefix: str) -> dict:
+    """ConvNext denoiser (no cross-attention) -> scanned-stack flax layout.
+
+    torch layout (reference modules/convnext.py:155-262): input_projection
+    conv1, diffusion_embedding Sequential(emb, Linear, GELU, Linear),
+    conditioner_projection Sequential(conv1, GELU, conv1), N ConvNeXtBlocks,
+    output_projection Sequential(conv1, GELU, conv1).
+    """
+    params: dict = {}
+    params["input_projection"] = _wrap(
+        _conv1x1_as_dense(sd, f"{prefix}.input_projection")
+    )
+    params["diff_mlp1"] = _dense(sd, f"{prefix}.diffusion_embedding.1")
+    params["diff_mlp2"] = _dense(sd, f"{prefix}.diffusion_embedding.3")
+    params["cond_proj1"] = _wrap(
+        _conv1x1_as_dense(sd, f"{prefix}.conditioner_projection.0")
+    )
+    params["cond_proj2"] = _wrap(
+        _conv1x1_as_dense(sd, f"{prefix}.conditioner_projection.2")
+    )
+    params["out_proj1"] = _wrap(_conv1x1_as_dense(sd, f"{prefix}.output_projection.0"))
+    params["out_proj2"] = _wrap(_conv1x1_as_dense(sd, f"{prefix}.output_projection.2"))
+
+    n_layers = (
+        max(
+            int(k.split(".")[len(prefix.split(".")) + 1])
+            for k in sd
+            if k.startswith(f"{prefix}.residual_layers.")
+        )
+        + 1
+    )
+
+    stacks: dict = {}
+
+    def push(name, leaf):
+        stacks.setdefault(name, []).append(leaf)
+
+    for i in range(n_layers):
+        p = f"{prefix}.residual_layers.{i}"
+        # depthwise conv7: torch [dim, 1, 7] -> ours [7, dim]
+        w = np.asarray(sd[f"{p}.dwconv.weight"])[:, 0, :].T
+        push("dw_kernel", np.ascontiguousarray(w))
+        push("dw_bias", np.asarray(sd[f"{p}.dwconv.bias"]))
+        push("norm_scale", np.asarray(sd[f"{p}.norm.weight"]))
+        push("norm_bias", np.asarray(sd[f"{p}.norm.bias"]))
+        for t_name, o_name in (
+            ("pwconv1", "pwconv1"),
+            ("pwconv2", "pwconv2"),
+        ):
+            d = _dense(sd, f"{p}.{t_name}")
+            push(f"{o_name}_kernel", d["kernel"])
+            push(f"{o_name}_bias", d["bias"])
+        push("gamma", np.asarray(sd[f"{p}.gamma"]))
+        for t_name, o_name in (
+            ("diffusion_step_projection", "diffusion_step_projection"),
+            ("condition_projection", "condition_projection"),
+        ):
+            d = _conv1x1_as_dense(sd, f"{p}.{t_name}")
+            push(f"{o_name}_kernel", d["kernel"])
+            push(f"{o_name}_bias", d["bias"])
+
+    s = {k: np.stack(v) for k, v in stacks.items()}
+    params["residual_layers"] = {
+        "block": {
+            "dwconv": {"kernel": s["dw_kernel"], "bias": s["dw_bias"]},
+            "norm": {"scale": s["norm_scale"], "bias": s["norm_bias"]},
+            "pwconv1": {"kernel": s["pwconv1_kernel"], "bias": s["pwconv1_bias"]},
+            "pwconv2": {"kernel": s["pwconv2_kernel"], "bias": s["pwconv2_bias"]},
+            "gamma": s["gamma"],
+            "diffusion_step_projection": _wrap({
+                "kernel": s["diffusion_step_projection_kernel"],
+                "bias": s["diffusion_step_projection_bias"],
+            }),
+            "condition_projection": _wrap({
+                "kernel": s["condition_projection_kernel"],
+                "bias": s["condition_projection_bias"],
+            }),
+        }
+    }
+    return params
+
+
 def convert_diffsinger(sd: dict) -> dict:
     """Full DiffSinger params tree from a (stripped) torch state dict."""
     params: dict = {}
@@ -141,9 +223,11 @@ def convert_diffsinger(sd: dict) -> dict:
             params[f"{enc}_mod"] = convert_encoder(sd, enc)
 
     if any(k.startswith("diffusion.denoise_fn.") for k in sd):
-        params["diffusion_mod"] = {
-            "denoise_fn": convert_wavenet(sd, "diffusion.denoise_fn")
-        }
+        den = "diffusion.denoise_fn"
+        if any(k.startswith(f"{den}.residual_layers.0.dwconv") for k in sd):
+            params["diffusion_mod"] = {"denoise_fn": convert_convnext(sd, den)}
+        else:
+            params["diffusion_mod"] = {"denoise_fn": convert_wavenet(sd, den)}
 
     return params
 
