@@ -48,6 +48,19 @@ def interleaved_positions(
     return pe.astype(np.float32)
 
 
+def fairseq_positions(length: int, d_model: int, padding_idx: int = 0) -> np.ndarray:
+    """fairseq SinusoidalPositionalEmbedding table rows for positions
+    ``padding_idx+1 .. padding_idx+length`` (reference fast_speech.py:139-160:
+    [sin | cos] concatenated halves, tensor2tensor convention)."""
+    half = d_model // 2
+    freq = np.exp(np.arange(half, dtype=np.float64) * -(math.log(10000.0) / (half - 1)))
+    pos = np.arange(padding_idx + 1, padding_idx + 1 + length, dtype=np.float64)[:, None]
+    emb = np.concatenate([np.sin(pos * freq), np.cos(pos * freq)], axis=1)
+    if d_model % 2 == 1:
+        emb = np.concatenate([emb, np.zeros((length, 1))], axis=1)
+    return emb.astype(np.float32)
+
+
 class ConvFFN(nn.Module):
     """TransformerFFNLayer (reference fast_speech.py:230-278), SAME padding."""
 
@@ -137,10 +150,11 @@ class FFTBlocks(nn.Module):
 
         if self.use_pos_embed:
             alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,))
-            table = jnp.asarray(
-                interleaved_positions(self.max_seq_len, self.hidden_size)
-            )
-            x = x + alpha * table[None, : x.shape[1]]
+            # fairseq table (positions begin at padding_idx+1; the reference
+            # derives them from x[..., 0] != 0, which for real-valued
+            # features is all-true -> positions 1..T)
+            table = jnp.asarray(fairseq_positions(x.shape[1], self.hidden_size))
+            x = x + alpha * table[None]
 
         x = x * keep
         for i in range(self.num_layers):
@@ -185,11 +199,14 @@ class FastSpeech2Encoder(nn.Module):
             )
         x = embed_scale * x
 
-        # RelPositionalEncoding: x * sqrt(h) + reversed-position table
-        # (positions run T-1..0; the table depends on T, which is static)
+        # RelPositionalEncoding: x * sqrt(h) + reversed-position table. The
+        # reference builds the reversed table over max_len=5000 at init and
+        # only SLICES the first T rows (fast_speech.py:27-31), so positions
+        # run 4999..5000-T — not T-1..0 — unless T exceeds 5000.
         T = x.shape[1]
-        pos = jnp.asarray(interleaved_positions(T, self.hidden_size, reverse=True))
-        x = x * embed_scale + pos[None]
+        full = max(5000, T)
+        pos = interleaved_positions(full, self.hidden_size, reverse=True)[:T]
+        x = x * embed_scale + jnp.asarray(pos)[None]
 
         return FFTBlocks(
             hidden_size=self.hidden_size,

@@ -213,6 +213,83 @@ def convert_convnext(sd: dict, prefix: str) -> dict:
     return params
 
 
+def convert_fast_speech(sd: dict, prefix: str, num_heads: int = 2) -> dict:
+    """FastSpeech2Encoder -> flax layout (reference fast_speech.py:892-947).
+
+    torch keys: ``proj`` (Linear or Embedding), per layer
+    ``layers.{i}.op.{layer_norm1,self_attn,layer_norm2,ffn}``
+    (self_attn: fairseq combined in_proj_weight [3h, h], bias-free),
+    final ``layer_norm``.
+    """
+    params: dict = {}
+    if f"{prefix}.proj.weight" in sd and np.asarray(
+        sd[f"{prefix}.proj.weight"]
+    ).ndim == 2 and f"{prefix}.proj.bias" in sd:
+        params["proj"] = _dense(sd, f"{prefix}.proj")
+    else:  # Embedding
+        params["proj"] = {"embedding": np.asarray(sd[f"{prefix}.proj.weight"])}
+
+    n_layers = (
+        max(
+            int(k.split(".")[len(prefix.split(".")) + 1])
+            for k in sd
+            if k.startswith(f"{prefix}.layers.")
+        )
+        + 1
+    )
+
+    def mha(p, h):
+        hd = h // num_heads
+        w = np.asarray(sd[f"{p}.in_proj_weight"])  # [3h, h]
+        q, k, v = np.split(w, 3, axis=0)
+        out_w = np.asarray(sd[f"{p}.out_proj.weight"])  # [h, h]
+
+        def head_split(m):  # torch [h_out, h_in] -> flax [h_in, nh, hd]
+            return np.ascontiguousarray(m.T.reshape(h, num_heads, hd))
+
+        return {
+            "query": {"kernel": head_split(q)},
+            "key": {"kernel": head_split(k)},
+            "value": {"kernel": head_split(v)},
+            "out": {"kernel": np.ascontiguousarray(
+                out_w.T.reshape(num_heads, hd, h)
+            )},
+        }
+
+    blocks = {}
+    h = np.asarray(sd[f"{prefix}.layers.0.op.layer_norm1.weight"]).shape[0]
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}.op"
+        ffn1_w = np.asarray(sd[f"{p}.ffn.ffn_1.weight"])  # [filter, h, k]
+        blocks[f"layers_{i}"] = {
+            "layer_norm1": {
+                "scale": np.asarray(sd[f"{p}.layer_norm1.weight"]),
+                "bias": np.asarray(sd[f"{p}.layer_norm1.bias"]),
+            },
+            "self_attn": mha(f"{p}.self_attn", h),
+            "layer_norm2": {
+                "scale": np.asarray(sd[f"{p}.layer_norm2.weight"]),
+                "bias": np.asarray(sd[f"{p}.layer_norm2.bias"]),
+            },
+            "ffn": {
+                "ffn_1": {
+                    "kernel": np.ascontiguousarray(ffn1_w.transpose(2, 1, 0)),
+                    "bias": np.asarray(sd[f"{p}.ffn.ffn_1.bias"]),
+                },
+                "ffn_2": _dense(sd, f"{p}.ffn.ffn_2"),
+            },
+        }
+
+    fft = dict(blocks)
+    if f"{prefix}.layer_norm.weight" in sd:
+        fft["layer_norm"] = {
+            "scale": np.asarray(sd[f"{prefix}.layer_norm.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.layer_norm.bias"]),
+        }
+    params["fft_blocks"] = fft
+    return params
+
+
 def convert_diffsinger(sd: dict) -> dict:
     """Full DiffSinger params tree from a (stripped) torch state dict."""
     params: dict = {}
