@@ -214,6 +214,7 @@ class RefineGANGenerator(nn.Module):
     num_mels: int = 128
     start_channels: int = 16
     template_generator: str = "comb"
+    template_noise_std: float = 0.003  # reference CombToothGen/SineGen default
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -235,12 +236,15 @@ class RefineGANGenerator(nn.Module):
             template = BlockedCombTooth(
                 sampling_rate=self.sampling_rate,
                 hop=self.hop_length,
+                noise_std=self.template_noise_std,
                 name="template_gen",
             )(f0)
         else:
             f0_s = linear_resize(f0[:, :, None], t_samples)
             template = RefineSineGen(
-                sampling_rate=self.sampling_rate, name="template_gen"
+                sampling_rate=self.sampling_rate,
+                noise_std=self.template_noise_std,
+                name="template_gen",
             )(f0_s)
         template = template.astype(self.dtype)
 

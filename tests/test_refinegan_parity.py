@@ -1,0 +1,83 @@
+"""True numerical parity: reference torch RefineGANGenerator -> converter ->
+flax, same mel+f0 -> same waveform.
+
+Randomness is neutralized structurally (both sides keep their RNG plumbing):
+AdaIN weights set to 0 (noise amplitude is learned; 0 disables it) and the
+comb template's noise_std set to 0 with all-voiced f0 (noise amp = uv * 0).
+"""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF = Path("/root/reference/fish_diffusion/modules/vocoders/refinegan/generator.py")
+
+
+def load_reference():
+    spec = importlib.util.spec_from_file_location("ref_refinegan", REF)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+def test_converted_refinegan_matches_torch():
+    ref = load_reference()
+
+    torch.manual_seed(0)
+    tnet = ref.RefineGANGenerator(
+        sampling_rate=44100,
+        hop_length=256,
+        num_mels=8,
+        start_channels=4,
+        template_generator="comb",
+    )
+    tnet.eval()
+    with torch.no_grad():
+        tnet.template_gen.noise_std = 0.0
+        for m in tnet.modules():
+            if isinstance(m, ref.AdaIN):
+                m.weight.zero_()
+
+    rng = np.random.default_rng(5)
+    B, T = 1, 8
+    mel = rng.uniform(-4, 0, (B, 8, T)).astype(np.float32)
+    f0 = np.full((B, 1, T), 220.0, np.float32)
+
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(mel), torch.from_numpy(f0)).numpy()
+
+    sys.path.insert(0, "/root/repo/tools/refinegan")
+    from convert_checkpoint import convert_refinegan
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params = convert_refinegan(sd)
+
+    from fish_diffusion_tpu.models.vocoders.refinegan import RefineGANGenerator
+
+    jnet = RefineGANGenerator(
+        sampling_rate=44100,
+        hop_length=256,
+        num_mels=8,
+        start_channels=4,
+        template_generator="comb",
+        template_noise_std=0.0,
+    )
+    j_out = jnet.apply(
+        {"params": params},
+        jnp.asarray(mel.transpose(0, 2, 1)),
+        jnp.asarray(f0[:, 0]),
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    j_out = np.asarray(j_out)  # [B, T*hop]
+
+    np.testing.assert_allclose(j_out, t_out[:, 0], atol=5e-5, rtol=1e-3)
