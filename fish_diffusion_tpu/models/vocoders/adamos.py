@@ -192,7 +192,7 @@ class HiFiGANHead(nn.Module):
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
                 blk = ResBlock1(
-                    ch, rk, tuple(rd), dtype=self.dtype,
+                    ch, rk, tuple(rd), activation="silu", dtype=self.dtype,
                     name=f"resblocks_{i * num_kernels + j}",
                 )(x)
                 xs = blk if xs is None else xs + blk

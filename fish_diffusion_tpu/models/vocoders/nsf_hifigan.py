@@ -63,22 +63,32 @@ class Conv1d(nn.Module):
 
 class ResBlock1(nn.Module):
     """HiFiGAN ResBlock1 (reference models.py:27-116): 3 x (dilated conv +
-    plain conv) with leaky-relu pre-activations and residual adds."""
+    plain conv) with pre-activations and residual adds.
+
+    ``activation``: "leaky_relu" (NSF-HiFiGAN/iSTFTNet) or "silu"
+    (ADaMoS variant, reference adamos/hifigan.py:100-106).
+    """
 
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    activation: str = "leaky_relu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        act = (
+            nn.silu
+            if self.activation == "silu"
+            else lambda v: nn.leaky_relu(v, LRELU_SLOPE)
+        )
         for i, d in enumerate(self.dilation):
-            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = act(x)
             xt = Conv1d(
                 self.channels, self.kernel_size, dilation=d,
                 dtype=self.dtype, name=f"convs1_{i}",
             )(xt)
-            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = act(xt)
             xt = Conv1d(
                 self.channels, self.kernel_size, dilation=1,
                 dtype=self.dtype, name=f"convs2_{i}",

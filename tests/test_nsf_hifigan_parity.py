@@ -28,6 +28,15 @@ def load_reference_models():
     return m
 
 
+def _load_tool(path, name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
 def test_converted_generator_matches_torch(monkeypatch):
     ref = load_reference_models()
@@ -72,8 +81,9 @@ def test_converted_generator_matches_torch(monkeypatch):
         t_out = tgen(torch.from_numpy(mel), torch.from_numpy(f0)).numpy()
 
     # convert the torch weights
-    sys.path.insert(0, "/root/repo/tools/nsf_hifigan")
-    from convert_checkpoint import convert
+    convert = _load_tool(
+        "/root/repo/tools/nsf_hifigan/convert_checkpoint.py", "nsf_convert"
+    ).convert
 
     sd = {k: v.numpy() for k, v in tgen.state_dict().items()}
     params = convert(sd, n_ups=4)

@@ -29,6 +29,15 @@ def load_reference():
     return m
 
 
+def _load_tool(path, name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
 def test_converted_refinegan_matches_torch():
     ref = load_reference()
@@ -56,8 +65,9 @@ def test_converted_refinegan_matches_torch():
     with torch.no_grad():
         t_out = tnet(torch.from_numpy(mel), torch.from_numpy(f0)).numpy()
 
-    sys.path.insert(0, "/root/repo/tools/refinegan")
-    from convert_checkpoint import convert_refinegan
+    convert_refinegan = _load_tool(
+        "/root/repo/tools/refinegan/convert_checkpoint.py", "refinegan_convert"
+    ).convert_refinegan
 
     sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
     params = convert_refinegan(sd)
