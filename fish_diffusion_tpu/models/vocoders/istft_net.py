@@ -54,6 +54,7 @@ class ISTFTNetGenerator(nn.Module):
             sampling_rate=self.sampling_rate,
             hop=total_up,
             harmonic_num=8,
+            interp="nearest",  # reference f0_upsamp is nn.Upsample(nearest)
             name="m_source",
         )(f0)
         har = har_source.astype(self.dtype)

@@ -233,6 +233,7 @@ class NsfHifiGANGenerator(nn.Module):
             sampling_rate=self.sampling_rate,
             hop=self.hop_size,
             harmonic_num=8,
+            interp="nearest",  # reference f0_upsamp is nn.Upsample(nearest)
             name="m_source",
         )(f0)  # [B, T_samples, 1]
 

@@ -52,12 +52,18 @@ def frame_interp_coeffs(hop: int):
     )
 
 
-def sample_f0_blocked(f0: jax.Array, hop: int) -> jax.Array:
+def sample_f0_blocked(f0: jax.Array, hop: int, interp: str = "linear") -> jax.Array:
     """Frame f0 [B, T] -> per-sample f0 in blocked layout [B, T, hop].
 
-    Matches ``F.interpolate(mode='linear', align_corners=False)`` with
-    boundary clamping via edge padding.
+    ``interp="linear"`` matches ``F.interpolate(mode='linear',
+    align_corners=False)`` (boundary clamping via edge padding) — the
+    RefineGAN parent's explicit interpolation (generator.py:441).
+    ``interp="nearest"`` holds each frame's f0 for hop samples — the
+    NSF-HiFiGAN parent's ``nn.Upsample`` default (models.py:359).
     """
+    if interp == "nearest":
+        return jnp.broadcast_to(f0[:, :, None], (*f0.shape, hop))
+
     a_prev, a_cur, a_next = frame_interp_coeffs(hop)
     f_prev = jnp.concatenate([f0[:, :1], f0[:, :-1]], axis=1)
     f_next = jnp.concatenate([f0[:, 1:], f0[:, -1:]], axis=1)
@@ -96,13 +102,14 @@ class BlockedSineGen(nn.Module):
     sine_amp: float = 0.1
     noise_std: float = 0.003
     voiced_threshold: float = 0.0
+    interp: str = "linear"
 
     @nn.compact
     def __call__(self, f0: jax.Array):
         dim = self.harmonic_num + 1
         b, t = f0.shape
 
-        f0_blk = sample_f0_blocked(f0, self.hop)  # [B, T, hop]
+        f0_blk = sample_f0_blocked(f0, self.hop, self.interp)  # [B, T, hop]
         phase = blocked_phase(f0_blk, self.samp_rate)  # [B, T, hop]
 
         rng_phase, rng_noise = jax.random.split(self.make_rng("noise"))
@@ -139,6 +146,7 @@ class BlockedSourceModule(nn.Module):
     sine_amp: float = 0.1
     add_noise_std: float = 0.003
     voiced_threshold: float = 0.0
+    interp: str = "linear"
 
     @nn.compact
     def __call__(self, f0: jax.Array):
@@ -149,6 +157,7 @@ class BlockedSourceModule(nn.Module):
             self.sine_amp,
             self.add_noise_std,
             self.voiced_threshold,
+            self.interp,
             name="l_sin_gen",
         )(f0)
         sine_merge = jnp.tanh(nn.Dense(1, name="l_linear")(sine_wavs))
@@ -169,11 +178,12 @@ class BlockedCombTooth(nn.Module):
     wave_amp: float = 0.1
     noise_std: float = 0.003
     voiced_threshold: float = 0.0
+    interp: str = "linear"
 
     @nn.compact
     def __call__(self, f0: jax.Array):
         b, t = f0.shape
-        f0_blk = sample_f0_blocked(f0, self.hop)
+        f0_blk = sample_f0_blocked(f0, self.hop, self.interp)
         phase = blocked_phase(f0_blk, self.sampling_rate)
 
         x = phase - jnp.round(phase)  # [-0.5, 0.5]

@@ -75,7 +75,11 @@ def test_converted_generator_matches_torch(monkeypatch):
     n_frames = 12
     rng = np.random.default_rng(1)
     mel = rng.standard_normal((1, 16, n_frames)).astype(np.float32)
-    f0 = np.full((1, n_frames), 220.0, np.float32)
+    # VARYING f0: exercises the frame->sample upsampling convention
+    # (reference f0_upsamp = nn.Upsample default nearest, models.py:359)
+    f0 = (220.0 + 40.0 * np.sin(np.linspace(0, 3, n_frames))).astype(
+        np.float32
+    )[None]
 
     with torch.no_grad():
         t_out = tgen(torch.from_numpy(mel), torch.from_numpy(f0)).numpy()
