@@ -189,7 +189,9 @@ class E2E(nn.Module):
         x = DeepUnet(self.n_blocks, name="unet")(x)
         x = nn.Conv(3, (3, 3), padding=1, name="cnn")(x)  # [B, T, 128, 3]
         b, t = x.shape[:2]
-        x = x.reshape(b, t, -1)  # [B, T, 384]
+        # flatten channel-major (c*128 + m) to match the torch layout
+        # (reference rmvpe.py: .transpose(1, 2).flatten(-2) on NCHW)
+        x = jnp.swapaxes(x, 2, 3).reshape(b, t, -1)  # [B, T, 384]
         x = BiGRU(256, name="gru")(x)
         x = nn.Dense(N_CLASS, name="fc")(x)
         return jax.nn.sigmoid(x)
