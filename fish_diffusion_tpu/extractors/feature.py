@@ -94,7 +94,8 @@ class ConvFeatureExtractor(nn.Module):
             )(x)
             if i == 0:
                 x = nn.GroupNorm(
-                    num_groups=ch, dtype=self.dtype, name="group_norm"
+                    num_groups=ch, epsilon=1e-5, dtype=self.dtype,
+                    name="group_norm",
                 )(x)
             x = nn.gelu(x, approximate=False)
         return x
@@ -110,12 +111,12 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.layer_norm_first:
-            y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dtype=self.dtype, name="attn"
             )(y, y, y)
             x = x + y
-            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(y)
             y = nn.gelu(y, approximate=False)
             y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
@@ -124,11 +125,11 @@ class TransformerLayer(nn.Module):
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dtype=self.dtype, name="attn"
             )(x, x, x)
-            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + y)
             y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
             y = nn.gelu(y, approximate=False)
             y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
-            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + y)
         return x
 
 
@@ -147,7 +148,7 @@ class HubertEncoder(nn.Module):
     @nn.compact
     def __call__(self, audio):
         x = ConvFeatureExtractor(dtype=self.dtype, name="feature_extractor")(audio)
-        x = nn.LayerNorm(dtype=self.dtype, name="feat_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="feat_norm")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="feature_projection")(x)
 
         # convolutional relative positional embedding (k=128, groups=16)
@@ -162,7 +163,7 @@ class HubertEncoder(nn.Module):
         x = x + nn.gelu(pos, approximate=False)
 
         if not self.layer_norm_first:
-            x = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(x)
 
         hiddens = []
         for i in range(self.num_layers):

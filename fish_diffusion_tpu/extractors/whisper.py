@@ -87,13 +87,13 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(name="attn_ln", dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="attn_ln", dtype=self.dtype)(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, dtype=self.dtype, name="attn"
         )(y, y, y)
         x = x + y
 
-        y = nn.LayerNorm(name="mlp_ln", dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="mlp_ln", dtype=self.dtype)(x)
         y = nn.Dense(self.n_state * 4, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.n_state, dtype=self.dtype, name="mlp_fc2")(y)
@@ -129,7 +129,7 @@ class WhisperAudioEncoder(nn.Module):
                 self.n_state, self.n_head, self.dtype, name=f"blocks_{i}"
             )(x)
 
-        return nn.LayerNorm(name="ln_post", dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_post", dtype=self.dtype)(x)
 
 
 class PhoneEncoder(nn.Module):
@@ -154,7 +154,7 @@ class PhoneEncoder(nn.Module):
             x = ResidualAttentionBlock(
                 self.n_state, self.n_head, self.dtype, name=f"blocks_{i}"
             )(x)
-        return nn.LayerNorm(name="ln_post", dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_post", dtype=self.dtype)(x)
 
 
 class AlignedWhisper(nn.Module):

@@ -157,17 +157,17 @@ class TransformerDecoderLayer(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dtype=self.dtype, name="self_attn"
         )(x, x, x, mask=self_mask)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + attn)
 
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dtype=self.dtype, name="cross_attn"
         )(x, memory, memory, mask=cross_mask)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + attn)
 
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm3")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x + y)
         return x
 
 

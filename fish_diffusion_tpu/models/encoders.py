@@ -188,11 +188,11 @@ class TransformerEncoder(nn.Module):
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype, name=f"attn_{i}"
             )(x, x, x, mask=attn_mask)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"norm1_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm1_{i}")(x + y)
             y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name=f"ff1_{i}")(x)
             y = nn.relu(y)
             y = nn.Dense(self.output_size, dtype=self.dtype, name=f"ff2_{i}")(y)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm2_{i}")(x + y)
         return x
 
 

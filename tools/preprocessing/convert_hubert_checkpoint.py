@@ -33,8 +33,12 @@ def _conv(w):
     return np.ascontiguousarray(np.asarray(w).transpose(2, 1, 0))
 
 
-def convert_hf_hubert(sd: dict) -> dict:
-    """HF transformers HubertModel state dict -> HubertEncoder params."""
+def convert_hf_hubert(sd: dict, heads: int = None) -> dict:
+    """HF transformers HubertModel state dict -> HubertEncoder params.
+
+    ``heads`` defaults by hidden size (768 -> 12, 1024 -> 16) — pass it
+    explicitly for non-standard configs.
+    """
     g = lambda k: np.asarray(sd[k])
     params: dict = {}
 
@@ -58,10 +62,15 @@ def convert_hf_hubert(sd: dict) -> dict:
         "bias": g("feature_projection.projection.bias"),
     }
 
-    # positional conv (weight-norm folded)
+    # positional conv (weight-norm folded; HF normalizes over dim=2)
     if "encoder.pos_conv_embed.conv.weight_g" in sd:
         wg = g("encoder.pos_conv_embed.conv.weight_g")
         wv = g("encoder.pos_conv_embed.conv.weight_v")
+        norm = np.linalg.norm(wv, axis=(0, 1), keepdims=True)
+        w = wg * wv / (norm + 1e-12)
+    elif "encoder.pos_conv_embed.conv.parametrizations.weight.original0" in sd:
+        wg = g("encoder.pos_conv_embed.conv.parametrizations.weight.original0")
+        wv = g("encoder.pos_conv_embed.conv.parametrizations.weight.original1")
         norm = np.linalg.norm(wv, axis=(0, 1), keepdims=True)
         w = wg * wv / (norm + 1e-12)
     else:
@@ -89,7 +98,8 @@ def convert_hf_hubert(sd: dict) -> dict:
         + 1
     )
     dim = g("feature_projection.projection.weight").shape[0]
-    heads = 12 if dim == 768 else 16
+    if heads is None:
+        heads = 12 if dim == 768 else 16
     head_dim = dim // heads
 
     for i in range(n_layers):
