@@ -64,6 +64,7 @@ class LlamaBlock(nn.Module):
     num_heads: int
     intermediate_size: int
     rms_norm_eps: float = 1e-5
+    causal: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -88,6 +89,10 @@ class LlamaBlock(nn.Module):
         ) / np.sqrt(hd)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[:, None, None, :], scores, -1e9)
+        if self.causal:
+            # HF LlamaModel attention is causal (decoder LM)
+            tri = jnp.tril(jnp.ones((t, t), bool))
+            scores = jnp.where(tri[None, None], scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h)
         x = x + nn.Dense(h, use_bias=False, dtype=self.dtype, name="o_proj")(attn)
@@ -117,6 +122,11 @@ class LlamaDenoiser(nn.Module):
     intermediate_size: int = 3072
     vocab_size: int = 32000
     rms_norm_eps: float = 1e-5
+    # the reference trunk is HF LlamaModel, whose attention is CAUSAL even
+    # for this denoising use; keep True for checkpoint parity (the reference
+    # also concatenates its attention mask as [x, cond] while the embeds go
+    # [cond, x] — a latent misalignment under padding that we do not copy)
+    causal: bool = True
     gradient_checkpointing: bool = False
     dtype: Dtype = jnp.float32
 
@@ -171,6 +181,7 @@ class LlamaDenoiser(nn.Module):
                 self.num_attention_heads,
                 self.intermediate_size,
                 self.rms_norm_eps,
+                self.causal,
                 self.dtype,
                 name=f"layers_{i}",
             )(seq, positions, attn_mask)
