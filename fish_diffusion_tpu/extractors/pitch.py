@@ -18,9 +18,11 @@ Capability parity with the reference
     (Boersma 1993 ``to_pitch_ac`` family): hann-windowed frame ACF divided
     by the window ACF, peak picking with a voicing threshold.
 
-  Legacy registry names (ParselMouth/Harvest/Dio/Pyin/Crepe) are registered
-  as aliases onto these so reference configs run unchanged; the docstring of
-  each alias states the substitution.
+  Legacy registry names (ParselMouth/Harvest/Dio/Pyin) are registered as
+  aliases onto these so reference configs run unchanged; the docstring of
+  each alias states the substitution, and ``docs/pages/quality.md`` carries
+  a measured f0-deviation study vs the learned extractors. ``Crepe`` is NOT
+  an alias: ``extractors/crepe.py`` is a real flax port of the CREPE net.
 
 Everything runs batched on device: frames are cut with a strided reshape,
 ACFs are batched real FFTs — one jit per (sr, length-bucket).
@@ -311,7 +313,5 @@ class PyinPitchExtractor(YinPitchExtractor):
     """Alias for librosa pyin configs -> native YIN extractor."""
 
 
-@PITCH_EXTRACTORS.register_module(name="CrepePitchExtractor")
-class CrepePitchExtractor(YinPitchExtractor):
-    """Alias for torchcrepe configs -> native YIN extractor (a learned CREPE
-    port needs its released weights, which require network access)."""
+# CrepePitchExtractor is a real flax port of the CREPE net now — see
+# extractors/crepe.py (it registers itself under the reference name).

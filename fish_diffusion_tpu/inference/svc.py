@@ -319,7 +319,13 @@ class SVCInference:
         extract_vocals: bool = False,
         seed: int = 0,
     ):
-        """Full pipeline (reference inference.py:222-389)."""
+        """Full pipeline (reference inference.py:222-389).
+
+        NOTE: ``extract_vocals`` defaults to False here, while the reference
+        CLI defaults to True — demucs is not bundled with this image, so
+        vocal separation is opt-in; pass ``--extract-vocals`` explicitly when
+        converting mixed tracks (the demucs-missing error will surface).
+        """
         assert self.params is not None, "load a checkpoint first"
         assert self.vocoder is not None, "vocoder unavailable"
 

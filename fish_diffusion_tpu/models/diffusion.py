@@ -531,7 +531,15 @@ class GaussianDiffusion(nn.Module):
             steps = self.timesteps // sampler_interval
             t_start = None
             if skip_steps:
-                # shallow diffusion: solve only from the warm-start time
+                # shallow diffusion: solve only from the warm-start time.
+                # DELIBERATE DEVIATION from the reference: its
+                # UNIPCNoisePredictor always solves the full [1, 1/N] range
+                # regardless of skip_steps (uni_pc.py sample() t_start=1),
+                # re-denoising from t=1 a state that was only noised to
+                # t=(T-skip)/T. Solving from the warm-start noise level is
+                # mathematically consistent with q_sample above; outputs
+                # differ numerically from the reference for skip_steps>0
+                # with unipc (parity audits: expected, not a regression).
                 steps = max((self.timesteps - skip_steps) // sampler_interval, 2)
                 t_start = (self.timesteps - skip_steps) / self.timesteps
             x = self._sample_unipc(x, denoise, steps, t_start)

@@ -19,6 +19,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <new>
 #include <cstdio>
 #include <cstring>
 #include <fcntl.h>
@@ -75,22 +76,60 @@ void *fpk_open(const char *path) {
     return nullptr;
   }
 
-  auto *pack = new Pack();
-  pack->fd = fd;
-  std::memcpy(&pack->n_samples, header + 8, 8);
-  std::memcpy(&pack->json_offset, header + 16, 8);
-  std::memcpy(&pack->json_size, header + 24, 8);
+  uint64_t n_samples, json_offset, json_size;
+  std::memcpy(&n_samples, header + 8, 8);
+  std::memcpy(&json_offset, header + 16, 8);
+  std::memcpy(&json_size, header + 24, 8);
 
-  pack->table.resize(pack->n_samples);
-  if (!read_exact(fd, pack->table.data(), pack->n_samples * sizeof(Entry), 32)) {
+  // Validate header fields against the real file size before allocating:
+  // a truncated/corrupt .fpk must yield a clean nullptr, not a multi-GB
+  // resize whose std::bad_alloc would cross the extern "C" boundary (UB).
+  off_t fsize = lseek(fd, 0, SEEK_END);
+  if (fsize < 32) {
+    close(fd);
+    return nullptr;
+  }
+  const uint64_t file_size = static_cast<uint64_t>(fsize);
+  if (n_samples > (file_size - 32) / sizeof(Entry) ||
+      json_offset > file_size || json_size > file_size - json_offset) {
+    close(fd);
+    return nullptr;
+  }
+
+  Pack *pack = nullptr;
+  try {
+    pack = new Pack();
+    pack->fd = fd;
+    pack->n_samples = n_samples;
+    pack->json_offset = json_offset;
+    pack->json_size = json_size;
+    pack->table.resize(n_samples);
+    pack->json.resize(json_size + 1, 0);
+  } catch (const std::bad_alloc &) {
     close(fd);
     delete pack;
     return nullptr;
   }
-  pack->json.resize(pack->json_size + 1, 0);
-  if (pack->json_size &&
-      !read_exact(fd, pack->json.data(), pack->json_size, pack->json_offset)) {
+
+  if (!read_exact(fd, pack->table.data(), n_samples * sizeof(Entry), 32)) {
     close(fd);
+    pack->fd = -1;
+    delete pack;
+    return nullptr;
+  }
+  // Per-sample extents must also lie inside the file.
+  for (const Entry &e : pack->table) {
+    if (e.offset > file_size || e.size > file_size - e.offset) {
+      close(fd);
+      pack->fd = -1;
+      delete pack;
+      return nullptr;
+    }
+  }
+  if (json_size &&
+      !read_exact(fd, pack->json.data(), json_size, json_offset)) {
+    close(fd);
+    pack->fd = -1;
     delete pack;
     return nullptr;
   }

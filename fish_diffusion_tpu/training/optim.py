@@ -72,7 +72,9 @@ def exponential_schedule(base_lr: float, gamma: float):
 
 
 def build_lr_schedule(
-    scheduler_cfg: Optional[Dict[str, Any]], base_lr: float
+    scheduler_cfg: Optional[Dict[str, Any]],
+    base_lr: float,
+    steps_per_epoch: Optional[int] = None,
 ):
     """Build an optax schedule from a scheduler config.
 
@@ -83,22 +85,49 @@ def build_lr_schedule(
     - ``{"type": "LambdaLR", "lr_lambda": {"type": "LambdaWarmUpCosineScheduler", ...}}``
     - ``{"type": "LambdaWarmUpCosineScheduler", ...}`` (direct)
     - ``None`` -> constant ``base_lr``
+
+    ``interval`` semantics (matches the reference's Lightning stepping):
+
+    - ``"step"`` (default): the scheduler advances once per optimizer step —
+      the diffusion path (``archs/diffsinger/diffsinger.py:257``
+      returns ``interval="step"``).
+    - ``"epoch"``: the scheduler advances once per EPOCH — the GAN trainers
+      call ``scheduler.step()`` only on ``trainer.is_last_batch``
+      (``archs/hifisinger/hifisinger_v1.py:205-209``, same in
+      ``tools/nsf_hifigan/train.py``). Requires ``steps_per_epoch`` (batches
+      per epoch, i.e. ``len(train_loader)``) so the per-step optax schedule
+      can hold the factor constant within an epoch:
+      ``factor(floor(step / steps_per_epoch))``.
     """
     if scheduler_cfg is None:
         return optax.constant_schedule(base_lr)
 
     cfg = dict(scheduler_cfg)
-    cfg.pop("interval", None)
+    interval = cfg.pop("interval", "step")
+    if interval not in ("step", "epoch"):
+        raise ValueError(f"scheduler interval must be 'step'/'epoch', got {interval!r}")
+    if interval == "epoch":
+        if not steps_per_epoch or steps_per_epoch < 1:
+            raise ValueError(
+                "scheduler interval='epoch' requires steps_per_epoch "
+                "(= len(train_loader)); pass it through "
+                "build_optimizer(..., steps_per_epoch=...)"
+            )
+
+    def to_sched_step(step):
+        if interval == "epoch":
+            return jnp.floor_divide(jnp.asarray(step, jnp.int32), steps_per_epoch)
+        return step
 
     if cfg.get("type") == "LambdaLR":
         inner = cfg["lr_lambda"]
         if callable(inner):
-            return lambda step: base_lr * inner(step)
+            return lambda step: base_lr * inner(to_sched_step(step))
         factor_schedule = LR_SCHEDULERS.build(dict(inner))
-        return lambda step: base_lr * factor_schedule(step)
+        return lambda step: base_lr * factor_schedule(to_sched_step(step))
 
     factor_schedule = LR_SCHEDULERS.build(cfg)
-    return lambda step: base_lr * factor_schedule(step)
+    return lambda step: base_lr * factor_schedule(to_sched_step(step))
 
 
 @OPTIMIZERS.register_module(name="AdamW")
@@ -143,15 +172,18 @@ def build_optimizer(
     scheduler_cfg: Optional[Dict[str, Any]] = None,
     grad_clip_val: Optional[float] = None,
     accumulate_grad_batches: int = 1,
+    steps_per_epoch: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """Full optimizer chain: clip -> optimizer(schedule) [-> accumulation].
 
     Mirrors the trainer config surface
-    (``configs/_base_/trainers/base.py:11-19``).
+    (``configs/_base_/trainers/base.py:11-19``). ``steps_per_epoch`` is
+    required when the scheduler config sets ``interval="epoch"`` (GAN
+    regime — see ``build_lr_schedule``).
     """
     cfg = dict(optimizer_cfg)
     base_lr = cfg.pop("lr", 1.0)
-    schedule = build_lr_schedule(scheduler_cfg, base_lr)
+    schedule = build_lr_schedule(scheduler_cfg, base_lr, steps_per_epoch)
 
     tx = OPTIMIZERS.build({**cfg, "learning_rate": schedule})
 

@@ -90,6 +90,7 @@ class Trainer:
         log_dir: str = "logs",
         checkpoint_dir: Optional[str] = None,
         mesh=None,
+        steps_per_epoch: Optional[int] = None,
     ):
         from ..models import build_model
         from ..registry import VOCODERS
@@ -116,10 +117,12 @@ class Trainer:
             dict(config.scheduler) if config.get("scheduler") else None,
             grad_clip_val=tc.get("gradient_clip_val"),
             accumulate_grad_batches=tc.get("accumulate_grad_batches", 1),
+            steps_per_epoch=steps_per_epoch,
         )
         self.lr_schedule = build_lr_schedule(
             dict(config.scheduler) if config.get("scheduler") else None,
             dict(config.optimizer).get("lr", 1.0),
+            steps_per_epoch,
         )
 
         self.mesh = mesh if mesh is not None else make_mesh()

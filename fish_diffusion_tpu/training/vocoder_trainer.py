@@ -33,6 +33,7 @@ class VocoderTrainer:
         config,
         log_dir: str = "logs/vocoder",
         mesh=None,
+        steps_per_epoch=None,
     ):
         self.config = config
         mc = config.model
@@ -63,10 +64,12 @@ class VocoderTrainer:
             mrd_cfg=dict(mc.get("mrd", {})) or None,
         )
 
+        # GAN schedulers decay per EPOCH (reference hifisinger_v1.py:205-209);
+        # steps_per_epoch = len(train_loader) must be threaded through.
         opt_cfg = dict(config.optimizer)
         sched_cfg = dict(config.scheduler) if config.get("scheduler") else None
-        self.tx_g = build_optimizer(opt_cfg, sched_cfg)
-        self.tx_d = build_optimizer(opt_cfg, sched_cfg)
+        self.tx_g = build_optimizer(opt_cfg, sched_cfg, steps_per_epoch=steps_per_epoch)
+        self.tx_d = build_optimizer(opt_cfg, sched_cfg, steps_per_epoch=steps_per_epoch)
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.logger = MetricsLogger(log_dir)

@@ -144,3 +144,41 @@ class TestProcessShard:
             seen.append(set(int(i) for i in idx))
         assert seen[0].isdisjoint(seen[1])
         assert seen[0] | seen[1] == set(range(8))
+
+
+class TestCorruptFiles:
+    """fpk_open must reject truncated/corrupt packs cleanly (nullptr ->
+    OSError), never attempt a header-driven multi-GB allocation."""
+
+    def test_truncated_file_rejected(self, tmp_path):
+        d = _make_npy_dir(tmp_path)
+        out = tmp_path / "train.fpk"
+        pack_dataset(d, out)
+        data = out.read_bytes()
+        trunc = tmp_path / "trunc.fpk"
+        trunc.write_bytes(data[: len(data) // 2])
+        with pytest.raises(OSError):
+            PackedReader(trunc)
+
+    def test_absurd_header_counts_rejected(self, tmp_path):
+        import struct
+
+        d = _make_npy_dir(tmp_path)
+        out = tmp_path / "train.fpk"
+        pack_dataset(d, out)
+        data = bytearray(out.read_bytes())
+        # claim 2^40 samples: the offset table alone would be 16 TiB
+        data[8:16] = struct.pack("<Q", 1 << 40)
+        bad = tmp_path / "bad_n.fpk"
+        bad.write_bytes(bytes(data))
+        with pytest.raises(OSError):
+            PackedReader(bad)
+
+        data = bytearray(out.read_bytes())
+        # json extent beyond the end of file
+        data[16:24] = struct.pack("<Q", len(out.read_bytes()) + 10)
+        data[24:32] = struct.pack("<Q", 1 << 40)
+        bad2 = tmp_path / "bad_json.fpk"
+        bad2.write_bytes(bytes(data))
+        with pytest.raises(OSError):
+            PackedReader(bad2)

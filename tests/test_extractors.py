@@ -78,9 +78,12 @@ class TestAliases:
             "HarvestPitchExtractor",
             "DioPitchExtractor",
             "PyinPitchExtractor",
-            "CrepePitchExtractor",
+            "CrepePitchExtractor",  # real flax port (extractors/crepe.py)
         ]:
-            ext = PITCH_EXTRACTORS.build({"type": name, "keep_zeros": False})
+            cfg = {"type": name, "keep_zeros": False}
+            if name == "CrepePitchExtractor":
+                cfg.update(model="tiny", random_init=True)
+            ext = PITCH_EXTRACTORS.build(cfg)
             f0 = np.asarray(ext(tone(220, 0.3), SR, pad_to=20))
             assert f0.shape == (20,)
 

@@ -35,7 +35,11 @@ def parse_multipart(body: bytes, content_type: str):
         if b"\r\n\r\n" not in part:
             continue
         header, _, content = part.partition(b"\r\n\r\n")
-        content = content.rstrip(b"\r\n-")
+        # strip exactly the one CRLF that precedes the next boundary; an
+        # rstrip over a charset would eat trailing 0x2D/0x0D/0x0A bytes that
+        # are genuinely part of the uploaded PCM payload
+        if content.endswith(b"\r\n"):
+            content = content[:-2]
         header_text = header.decode(errors="ignore")
         name_m = re.search(r'name="([^"]+)"', header_text)
         if not name_m:

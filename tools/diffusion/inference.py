@@ -27,7 +27,9 @@ def main():
     parser.add_argument("--max-slice-duration", type=float, default=30.0)
     parser.add_argument("--min-silence-duration", type=float, default=0)
     parser.add_argument("--extract-vocals", action="store_true",
-                        help="separate vocals (needs local demucs weights)")
+                        help="separate vocals (needs local demucs weights); "
+                        "NOTE: reference CLI defaults this ON, here it is "
+                        "opt-in because demucs is not bundled")
     parser.add_argument("--pitches-path", type=str, default=None,
                         help="restore a frame-f0 curve from .json/.npy")
     parser.add_argument("--batch", action="store_true",

@@ -1,0 +1,273 @@
+"""Drive the HiFiSinger GAN regime end-to-end on real hardware.
+
+VERDICT r1 follow-up: the GAN training step had only single-step unit tests.
+This script runs the full adversarial regime (HiFiSinger-v2: RefineGAN
+generator + MPD/MRD, 45*mel + envelope + adv losses, per-EPOCH ExponentialLR)
+for O(1000) steps on a synthetic-but-learnable singing dataset and records
+the D/G loss series to a committed JSON artifact.
+
+Synthetic data: harmonic-series "voices" with smooth random f0 contours and
+amplitude envelopes; `contents` are a fixed random projection of the
+ground-truth log-mel (so the task is a learnable vocoder-like mapping), and
+`pitches` are the true f0 — the same information the real pipeline provides.
+
+Usage (single TPU chip; serialize with other TPU users):
+    python tools/hifisinger/prove_training.py --steps 1200 \
+        --out docs/artifacts/gan_run_r02.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def synth_dataset(n, segment_size, hop, sr, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_frames = segment_size // hop
+
+    # smooth log-f0 contours in [110, 440] Hz
+    ctrl = rng.uniform(np.log(110.0), np.log(440.0), size=(n, 8))
+    t = np.linspace(0, 7, n_frames)
+    idx = np.floor(t).astype(int)
+    frac = (t - idx).astype(np.float32)
+    logf0 = ctrl[:, idx] * (1 - frac) + ctrl[:, np.minimum(idx + 1, 7)] * frac
+    f0 = np.exp(logf0).astype(np.float32)  # [n, n_frames]
+
+    f0_up = np.repeat(f0, hop, axis=1)  # [n, segment]
+    phase = 2 * np.pi * np.cumsum(f0_up, axis=1) / sr
+
+    # harmonic stack with per-voice timbre + smooth envelope
+    audio = np.zeros_like(phase, dtype=np.float64)
+    timbre = rng.uniform(0.3, 1.0, size=(n, 8))
+    for k in range(1, 9):
+        audio += (timbre[:, k - 1 : k] / k) * np.sin(k * phase)
+    env_ctrl = rng.uniform(0.3, 0.9, size=(n, 8))
+    env = env_ctrl[:, idx] * (1 - frac) + env_ctrl[:, np.minimum(idx + 1, 7)] * frac
+    audio *= np.repeat(env, hop, axis=1)
+    audio /= np.abs(audio).max(axis=1, keepdims=True) + 1e-6
+    audio = (0.8 * audio + 0.002 * rng.standard_normal(audio.shape)).astype(
+        np.float32
+    )
+    return audio, f0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/svc_hifisinger_v2.py")
+    parser.add_argument("--steps", type=int, default=1200)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--n-samples", type=int, default=256)
+    parser.add_argument("--log-every", type=int, default=25)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--out", default="docs/artifacts/gan_run_r02.json")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_diffusion_tpu.config import Config
+    from fish_diffusion_tpu.models.hifisinger import HiFiSinger
+    from fish_diffusion_tpu.ops.mel import LogMelSpectrogram
+    from fish_diffusion_tpu.parallel import make_mesh, shard_batch
+    from fish_diffusion_tpu.training.gan import (
+        Discriminators,
+        create_gan_state,
+        make_gan_train_step,
+    )
+    from fish_diffusion_tpu.training.optim import build_lr_schedule, build_optimizer
+
+    cfg = Config.fromfile(args.config)
+    mc = cfg.model
+    flavor = "v2" if mc.encoder.get("type") == "RefineGAN" else "v1"
+    hop = mc.encoder.get("hop_length", mc.encoder.get("hop_size", 512))
+    sr = mc.encoder.get("sampling_rate", 44100)
+    segment = cfg.dataset.train.get("segment_size", 32768)
+    n_frames = segment // hop
+    content_dim = mc.text_encoder.get("input_size", 768)
+    print(f"[prove] flavor={flavor} hop={hop} sr={sr} segment={segment} "
+          f"frames={n_frames} platform={jax.devices()[0].platform}")
+
+    # -- data ----------------------------------------------------------------
+    audio_np, f0_np = synth_dataset(args.n_samples, segment, hop, sr, args.seed)
+    rng_np = np.random.default_rng(args.seed)
+    speakers_np = rng_np.integers(
+        0, mc.speaker_encoder.get("input_size", 10), size=args.n_samples
+    )
+
+    mel_tf = LogMelSpectrogram(sample_rate=sr, hop_length=hop, n_mels=128)
+    proj = rng_np.standard_normal((128, content_dim)).astype(np.float32) / np.sqrt(128)
+
+    mel_fn = jax.jit(lambda a: jnp.swapaxes(mel_tf.wav2spec(a), 1, 2) @ proj)
+    contents_np = np.concatenate(
+        [
+            np.asarray(mel_fn(jnp.asarray(audio_np[i : i + 32])))
+            for i in range(0, args.n_samples, 32)
+        ]
+    )[:, :n_frames].astype(np.float32)
+    print(f"[prove] contents {contents_np.shape}")
+
+    # -- model / optimizers ----------------------------------------------------
+    model_cfg = {
+        k: v
+        for k, v in dict(mc).items()
+        if k not in ("type", "mpd", "mrd", "msd", "multi_scale_mels")
+    }
+    model = HiFiSinger(**model_cfg)
+
+    def generator_apply(params, batch, rng):
+        return model.apply(
+            {"params": params},
+            speakers=batch["speaker"],
+            contents=batch["contents"],
+            pitches=batch["pitches"],
+            rngs={"noise": rng},
+        )
+
+    discs = Discriminators(
+        flavor,
+        mpd_cfg=dict(mc.get("mpd", {})) or None,
+        mrd_cfg=dict(mc.get("mrd", {})) or None,
+    )
+
+    spe = args.n_samples // args.batch  # steps per epoch
+    sched_cfg = dict(cfg.scheduler)
+    tx_g = build_optimizer(dict(cfg.optimizer), sched_cfg, steps_per_epoch=spe)
+    tx_d = build_optimizer(dict(cfg.optimizer), sched_cfg, steps_per_epoch=spe)
+    lr_fn = build_lr_schedule(
+        sched_cfg, dict(cfg.optimizer).get("lr", 1.0), steps_per_epoch=spe
+    )
+
+    mesh = make_mesh()
+    step_fn = make_gan_train_step(
+        generator_apply,
+        discs,
+        tx_g,
+        tx_d,
+        sampling_rate=sr,
+        multi_scale_mels=tuple(
+            tuple(s) for s in mc.get("multi_scale_mels", [(2048, hop, 2048)])
+        ),
+        mesh=mesh,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+
+    def gen_init():
+        return model.init(
+            {"params": rng, "noise": jax.random.fold_in(rng, 1)},
+            speakers=jnp.asarray(speakers_np[: 1]),
+            contents=jnp.asarray(contents_np[:1]),
+            pitches=jnp.asarray(f0_np[:1]),
+        )["params"]
+
+    example = {
+        "audio": jnp.asarray(audio_np[:1]),
+        "contents": jnp.asarray(contents_np[:1]),
+        "pitches": jnp.asarray(f0_np[:1]),
+        "speaker": jnp.asarray(speakers_np[:1]),
+    }
+    t0 = time.perf_counter()
+    state = create_gan_state(
+        gen_init, discs, example["audio"], rng, tx_g, tx_d
+    )
+    n_params_g = sum(x.size for x in jax.tree_util.tree_leaves(state.params_g))
+    n_params_d = sum(x.size for x in jax.tree_util.tree_leaves(state.params_d))
+    print(f"[prove] init in {time.perf_counter() - t0:.1f}s; "
+          f"G params {n_params_g / 1e6:.2f}M, D params {n_params_d / 1e6:.2f}M")
+
+    # -- loop ------------------------------------------------------------------
+    series = []
+    order = np.arange(args.n_samples)
+    t_last = time.perf_counter()
+    t_begin = t_last
+    pending = None  # (step, metrics) fetched one step late to stay async
+    for step in range(1, args.steps + 1):
+        if (step - 1) % spe == 0:
+            rng_np.shuffle(order)
+        sel = order[((step - 1) % spe) * args.batch : ((step - 1) % spe + 1) * args.batch]
+        batch = {
+            "audio": jnp.asarray(audio_np[sel]),
+            "contents": jnp.asarray(contents_np[sel]),
+            "pitches": jnp.asarray(f0_np[sel]),
+            "speaker": jnp.asarray(speakers_np[sel]),
+        }
+        state, metrics = step_fn(state, shard_batch(batch, mesh), rng)
+
+        if pending is not None:
+            p_step, p_metrics = pending
+            now = time.perf_counter()
+            row = {k: float(v) for k, v in p_metrics.items()}
+            row.update(
+                step=p_step,
+                lr=float(lr_fn(p_step)),
+                epoch=p_step // spe,
+                steps_per_sec=args.log_every / max(now - t_last, 1e-9),
+            )
+            series.append(row)
+            print(
+                f"step {p_step:5d} ep {row['epoch']:3d} "
+                f"D {row['loss_d']:.4f} G {row['loss_g']:.3f} "
+                f"mel {row['loss_mel']:.4f} env {row['loss_env']:.4f} "
+                f"lr {row['lr']:.3e} {row['steps_per_sec']:.2f} it/s"
+            )
+            t_last = now
+            pending = None
+        if step % args.log_every == 0:
+            pending = (step, metrics)
+
+    elapsed = time.perf_counter() - t_begin
+    first = [r for r in series if r["step"] <= args.steps // 5]
+    last = [r for r in series if r["step"] > 4 * args.steps // 5]
+
+    def avg(rows, k):
+        return float(np.mean([r[k] for r in rows])) if rows else float("nan")
+
+    summary = {
+        "config": args.config,
+        "flavor": flavor,
+        "steps": args.steps,
+        "batch": args.batch,
+        "segment_size": segment,
+        "platform": jax.devices()[0].platform,
+        "params_g": n_params_g,
+        "params_d": n_params_d,
+        "wall_seconds": elapsed,
+        "steps_per_sec_steady": avg(series[len(series) // 2 :], "steps_per_sec"),
+        "audio_sec_per_sec": avg(series[len(series) // 2 :], "steps_per_sec")
+        * args.batch
+        * segment
+        / sr,
+        "loss_mel_first_fifth": avg(first, "loss_mel"),
+        "loss_mel_last_fifth": avg(last, "loss_mel"),
+        "loss_g_first_fifth": avg(first, "loss_g"),
+        "loss_g_last_fifth": avg(last, "loss_g"),
+        "loss_d_first_fifth": avg(first, "loss_d"),
+        "loss_d_last_fifth": avg(last, "loss_d"),
+        "lr_final": series[-1]["lr"] if series else None,
+        "series": series,
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(summary, indent=1))
+    improved = summary["loss_mel_last_fifth"] < 0.7 * summary["loss_mel_first_fifth"]
+    print(
+        f"[prove] mel {summary['loss_mel_first_fifth']:.4f} -> "
+        f"{summary['loss_mel_last_fifth']:.4f} "
+        f"({'DECREASING' if improved else 'NOT CONVERGED'}); "
+        f"{summary['steps_per_sec_steady']:.2f} steps/s = "
+        f"{summary['audio_sec_per_sec']:.1f}x realtime audio throughput; "
+        f"wrote {out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

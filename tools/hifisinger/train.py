@@ -85,12 +85,14 @@ def main():
         mrd_cfg=dict(mc.get("mrd", {})) or None,
     )
 
-    tx_g = build_optimizer(dict(cfg.optimizer), dict(cfg.scheduler))
-    tx_d = build_optimizer(dict(cfg.optimizer), dict(cfg.scheduler))
-
     mesh = make_mesh()
     n_devices = int(np.prod(mesh.devices.shape))
     train_loader, _ = build_loader_from_config(cfg, n_devices)
+
+    # GAN schedulers decay once per EPOCH (reference hifisinger_v1.py:205-209)
+    spe = max(len(train_loader), 1)
+    tx_g = build_optimizer(dict(cfg.optimizer), dict(cfg.scheduler), steps_per_epoch=spe)
+    tx_d = build_optimizer(dict(cfg.optimizer), dict(cfg.scheduler), steps_per_epoch=spe)
 
     step_fn = make_gan_train_step(
         generator_apply,

@@ -30,11 +30,16 @@ def main():
     maybe_initialize_distributed()
 
     cfg = Config.fromfile(args.config)
-    trainer = VocoderTrainer(cfg, log_dir=args.log_dir)
 
     dataset = DATASETS.build(dict(cfg.dataset.train))
     loader = DataLoader(
         dataset, collate_fn=dataset.collate_fn, **dict(cfg.dataloader.train)
+    )
+
+    # GAN schedulers decay once per EPOCH (reference tools/nsf_hifigan/train.py
+    # steps scheduler_g/d on is_last_batch)
+    trainer = VocoderTrainer(
+        cfg, log_dir=args.log_dir, steps_per_epoch=max(len(loader), 1)
     )
 
     valid_loader = None
