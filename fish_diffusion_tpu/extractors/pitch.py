@@ -180,6 +180,144 @@ def _yin_f0(
     return f0
 
 
+_N_CANDIDATES = 4  # voiced candidates per frame for the Viterbi path
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _acf_candidates(
+    x: jax.Array,
+    sampling_rate: int,
+    frame_length: int,
+    hop_length: int,
+    f0_min: float,
+    f0_max: float,
+    voicing_threshold: float = 0.45,
+):
+    """Per-frame pitch candidates from the window-corrected ACF.
+
+    Praat's candidate stage (Boersma 1993 §3, ``to_pitch_ac``): local maxima
+    of the corrected autocorrelation, scored with the octave cost, plus an
+    unvoiced candidate whose strength follows the voicing/silence-threshold
+    formula. Returns (freqs [T, K], strengths [T, K], unvoiced_strength [T]).
+    """
+    frames = _frame_signal(x, frame_length, hop_length)
+    n_frames, W = frames.shape
+    tau_max = min(int(sampling_rate / f0_min) + 1, W // 2)
+    tau_min = max(int(sampling_rate / f0_max), 1)
+    half = W // 2
+
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    window = jnp.asarray(np.hanning(W).astype(np.float32))
+    wframes = frames * window[None, :]
+
+    fft = jnp.fft.rfft(wframes, n=2 * W, axis=-1)
+    acf = jnp.fft.irfft(fft * jnp.conj(fft), axis=-1)[:, : half + 1]
+    acf_norm = acf / jnp.maximum(acf[:, :1], 1e-9)
+
+    wfft = jnp.fft.rfft(window, n=2 * W)
+    wacf = jnp.fft.irfft(wfft * jnp.conj(wfft))[: half + 1]
+    wacf_norm = wacf / jnp.maximum(wacf[0], 1e-9)
+    r = acf_norm / jnp.maximum(wacf_norm[None, :], 1e-3)
+
+    taus = jnp.arange(half + 1)
+    band = (taus >= tau_min) & (taus < tau_max)
+    octave_cost = 0.01
+    lag_sec = jnp.maximum(taus, 1) / sampling_rate
+    score = r - octave_cost * jnp.log2(jnp.maximum(f0_min * lag_sec, 1e-9))
+
+    # local maxima only (praat picks ACF peaks, not raw bins)
+    left = jnp.pad(score[:, :-1], ((0, 0), (1, 0)), constant_values=-np.inf)
+    right = jnp.pad(score[:, 1:], ((0, 0), (0, 1)), constant_values=-np.inf)
+    is_peak = (score >= left) & (score > right) & band[None, :]
+    peak_score = jnp.where(is_peak, score, -jnp.inf)
+
+    top_scores, top_taus = jax.lax.top_k(peak_score, _N_CANDIDATES)
+
+    # parabolic lag refinement per candidate
+    idx = jnp.arange(n_frames)[:, None]
+    t0 = jnp.clip(top_taus - 1, 0, half)
+    t2 = jnp.clip(top_taus + 1, 0, half)
+    y0, y1, y2 = r[idx, t0], r[idx, top_taus], r[idx, t2]
+    denom = y0 - 2 * y1 + y2
+    offset = jnp.where(
+        jnp.abs(denom) > 1e-12,
+        0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+        0.0,
+    )
+    offset = jnp.clip(offset, -1.0, 1.0)
+    freqs = sampling_rate / jnp.maximum(top_taus + offset, 1e-6)
+
+    strengths = jnp.where(jnp.isfinite(top_scores), r[idx, top_taus], -1.0)
+    valid = (
+        jnp.isfinite(top_scores)
+        & (freqs >= f0_min)
+        & (freqs <= f0_max)
+    )
+    strengths = jnp.where(valid, strengths, -1.0)
+    freqs = jnp.where(valid, freqs, 0.0)
+
+    # unvoiced candidate (praat: VoicingThreshold + max(0, 2 - intensity
+    # ratio); intensity proxied by frame RMS against a -40 dBFS silence
+    # floor)
+    frame_rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    intensity = frame_rms / 0.01
+    unvoiced = voicing_threshold + jnp.maximum(
+        0.0, 2.0 - intensity / (1.0 + voicing_threshold)
+    )
+    return freqs, strengths, unvoiced
+
+
+@jax.jit
+def _viterbi_candidates(freqs, strengths, unvoiced_strength):
+    """Praat's path finder over per-frame candidates (Boersma 1993 §4):
+    maximize sum of strengths minus transition costs
+    (octave-jump cost between voiced candidates, voiced/unvoiced cost at
+    voicing flips). States: K voiced candidates + 1 unvoiced per frame."""
+    octave_jump_cost = 0.35
+    voiced_unvoiced_cost = 0.14
+
+    T, K = freqs.shape
+    # state k<K: voiced candidate k; state K: unvoiced
+    str_all = jnp.concatenate([strengths, unvoiced_strength[:, None]], axis=1)
+    f_all = jnp.concatenate([freqs, jnp.zeros((T, 1))], axis=1)
+
+    def trans_cost(f_prev, f_next):
+        """[K+1] x [K+1] transition costs from candidate freqs."""
+        pv = f_prev > 0
+        nv = f_next > 0
+        jump = jnp.abs(
+            jnp.log2(jnp.maximum(f_prev[:, None], 1e-6))
+            - jnp.log2(jnp.maximum(f_next[None, :], 1e-6))
+        )
+        cost = jnp.where(
+            pv[:, None] & nv[None, :],
+            octave_jump_cost * jump,
+            jnp.where(pv[:, None] ^ nv[None, :], voiced_unvoiced_cost, 0.0),
+        )
+        return cost
+
+    def fwd(carry, inp):
+        delta, f_prev = carry
+        f_t, s_t = inp
+        scores = delta[:, None] - trans_cost(f_prev, f_t)
+        best_prev = jnp.argmax(scores, axis=0)
+        delta_new = jnp.max(scores, axis=0) + s_t
+        return (delta_new, f_t), best_prev
+
+    (delta_T, _), backptrs = jax.lax.scan(
+        fwd, (str_all[0], f_all[0]), (f_all[1:], str_all[1:])
+    )
+    last = jnp.argmax(delta_T)
+
+    def bwd(state, bp_t):
+        return bp_t[state], state
+
+    first, tail = jax.lax.scan(bwd, last, backptrs, reverse=True)
+    path = jnp.concatenate([first[None], tail])
+    f0 = jnp.take_along_axis(f_all, path[:, None], axis=1)[:, 0]
+    return f0
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _autocorr_f0(
     x: jax.Array,
@@ -266,26 +404,52 @@ class YinPitchExtractor(BasePitchExtractor):
 
 @PITCH_EXTRACTORS.register_module()
 class AutocorrPitchExtractor(BasePitchExtractor):
-    """Praat-style normalized-ACF pitch (see module docstring)."""
+    """Praat-style normalized-ACF pitch (see module docstring).
+
+    ``use_viterbi=True`` (default) runs praat's candidate path finder
+    (Boersma 1993 §4: per-frame ACF-peak candidates + an unvoiced
+    candidate, octave-jump and voiced/unvoiced transition costs, best path
+    by dynamic programming — the semantics of
+    ``parsel_mouth.py:8-42``'s ``to_pitch_ac``). ``False`` falls back to
+    per-frame argmax with the octave cost only. The measured f0 deviation
+    of both modes vs ground truth is published in ``docs/pages/quality.md``.
+    """
 
     def __init__(
-        self, frame_length: int = 2048, voicing_threshold: float = 0.45, **kwargs
+        self,
+        frame_length: int = 2048,
+        voicing_threshold: float = 0.45,
+        use_viterbi: bool = True,
+        **kwargs,
     ):
         super().__init__(**kwargs)
         self.frame_length = frame_length
         self.voicing_threshold = voicing_threshold
+        self.use_viterbi = use_viterbi
 
     def __call__(self, x, sampling_rate=44100, pad_to=None):
         x = jnp.asarray(x, jnp.float32).reshape(-1)
-        f0 = _autocorr_f0(
-            x,
-            int(sampling_rate),
-            self.frame_length,
-            self.hop_length,
-            float(self.f0_min),
-            float(self.f0_max),
-            float(self.voicing_threshold),
-        )
+        if self.use_viterbi:
+            freqs, strengths, unvoiced = _acf_candidates(
+                x,
+                int(sampling_rate),
+                self.frame_length,
+                self.hop_length,
+                float(self.f0_min),
+                float(self.f0_max),
+                float(self.voicing_threshold),
+            )
+            f0 = _viterbi_candidates(freqs, strengths, unvoiced)
+        else:
+            f0 = _autocorr_f0(
+                x,
+                int(sampling_rate),
+                self.frame_length,
+                self.hop_length,
+                float(self.f0_min),
+                float(self.f0_max),
+                float(self.voicing_threshold),
+            )
         return self.post_process(x, sampling_rate, f0, pad_to)
 
 

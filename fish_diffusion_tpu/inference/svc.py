@@ -86,6 +86,28 @@ class SVCInference:
 
         self._sample_cache = {}
 
+    @classmethod
+    def from_package(cls, package_dir):
+        """Load a deployable artifact written by
+        ``tools/diffusion/export_package.py`` (the MoeSS-folder-equivalent
+        packaging story): resolved config + checkpoint + speaker mapping in
+        one directory."""
+        import json
+
+        package_dir = Path(package_dir)
+        manifest = json.loads((package_dir / "package.json").read_text())
+        assert manifest.get("format_version") == 1, manifest
+
+        from ..config.config import _to_config_dict
+
+        cfg = Config(_to_config_dict(json.loads((package_dir / "config.json").read_text())))
+        mapping_file = package_dir / "speaker_mapping.json"
+        if mapping_file.exists():
+            mapping = json.loads(mapping_file.read_text())
+            if mapping:
+                cfg["speaker_mapping"] = mapping
+        return cls(cfg, checkpoint=str(package_dir / "checkpoint.pkl"))
+
     # -- checkpoint loading -------------------------------------------------
 
     def load_checkpoint(self, path):

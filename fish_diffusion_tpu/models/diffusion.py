@@ -92,15 +92,34 @@ def unipc_step_table(
     steps: int,
     t_start: Optional[float] = None,
     variant: str = "bh2",
+    order: int = 2,
 ) -> dict:
-    """Precompute everything the UniPC order-2 bh2 multistep scan needs.
+    """Precompute everything the UniPC multistep scan needs (orders 1-3).
 
     Returns arrays of length ``steps`` (for update steps 1..steps), matching
     the reference's ``multistep_uni_pc_bh_update`` algebra
-    (``uni_pc.py:583-680``) specialized to: variant=bh2, order=2,
-    data-prediction, time_uniform grid, lower_order_final, corrector on all
-    but the last step.
+    (``uni_pc.py:583-680``) specialized to: variant bh1/bh2, order<=3,
+    data-prediction (model_type="noise" wrapped with predict_x0 — the only
+    mode the reference framework invokes, noise_predictor.py:195-217),
+    time_uniform grid, lower_order_final, corrector on all but the last
+    step. Any other UniPC mode (vary_coeff, singlestep, order>3) fails
+    loudly in ``GaussianDiffusion.setup``.
+
+    ``D1s`` has up to ``order - 1`` columns; the tables carry 2 slots with
+    zeros where the effective order (min(step, order, steps+1-step)) is
+    lower.
     """
+    if variant not in ("bh1", "bh2"):
+        raise ValueError(
+            f"unsupported UniPC variant {variant!r}: this framework "
+            "implements the bh1/bh2 multistep data-prediction solver the "
+            "reference invokes; vary_coeff/singlestep are not supported"
+        )
+    if not 1 <= order <= 3:
+        raise ValueError(
+            f"unsupported UniPC order {order}: supported orders are 1-3"
+        )
+
     N = len(coeffs.betas)
     t_T = 1.0 if t_start is None else t_start
     t_0 = 1.0 / N
@@ -115,19 +134,18 @@ def unipc_step_table(
 
     out = {
         "model_times": model_times.astype(np.float32),
-        "c_x": np.zeros(steps, np.float32),        # sigma_t / sigma_prev0
-        "c_m0": np.zeros(steps, np.float32),       # -alpha_t * h_phi_1
-        "c_pred_D1": np.zeros(steps, np.float32),  # predictor: -alpha_t*B_h*rho_p
-        "c_corr_D1s": np.zeros(steps, np.float32), # corrector: -alpha_t*B_h*rhos_c[0]
-        "c_corr_D1t": np.zeros(steps, np.float32), # corrector: -alpha_t*B_h*rhos_c[-1]
-        "inv_rk": np.zeros(steps, np.float32),     # 1/rk0 for D1s
-        "alpha_in": alphas.astype(np.float32),     # for x0-from-noise at each grid pt
+        "c_x": np.zeros(steps, np.float32),          # sigma_t / sigma_prev0
+        "c_m0": np.zeros(steps, np.float32),         # -alpha_t * h_phi_1
+        "c_pred": np.zeros((steps, 2), np.float32),  # -alpha_t*B_h*rhos_p[k]
+        "c_corr": np.zeros((steps, 2), np.float32),  # -alpha_t*B_h*rhos_c[k]
+        "c_corr_D1t": np.zeros(steps, np.float32),   # -alpha_t*B_h*rhos_c[-1]
+        "inv_rk": np.zeros((steps, 2), np.float32),  # 1/rk_k for D1s columns
+        "alpha_in": alphas.astype(np.float32),       # x0-from-noise per grid pt
         "sigma_in": sigmas.astype(np.float32),
     }
 
     for step in range(1, steps + 1):
         i = step - 1
-        t_prev0, t = timesteps[step - 1], timesteps[step]
         lam_prev0, lam_t = lambdas[step - 1], lambdas[step]
         sigma_prev0, sigma_t = sigmas[step - 1], sigmas[step]
         alpha_t = alphas[step]
@@ -137,37 +155,48 @@ def unipc_step_table(
         h_phi_1 = np.expm1(hh)
         B_h = np.expm1(hh) if variant == "bh2" else hh  # bh2 | bh1
 
-        order = 2 if (1 < step < steps + 0) and step >= 2 else 1
-        # match reference: init phase order=min(step, 2); final step order
-        # limited by lower_order_final: min(2, steps+1-step)
-        order = min(step, 2, steps + 1 - step)
+        # init phase order=min(step, order); final steps limited by
+        # lower_order_final: min(order, steps+1-step)
+        o = min(step, order, steps + 1 - step)
 
         out["c_x"][i] = sigma_t / sigma_prev0
         out["c_m0"][i] = -alpha_t * h_phi_1
 
-        if order == 2:
-            lam_prev1 = lambdas[step - 2]
-            rk0 = (lam_prev1 - lam_prev0) / h
-            out["inv_rk"][i] = 1.0 / rk0
+        # rks for the D1s columns (uni_pc.py:598-607), rks[-1]=1 for D1_t
+        rks = []
+        for k in range(1, o):
+            lam_prev_k = lambdas[step - 1 - k]
+            rks.append((lam_prev_k - lam_prev0) / h)
+            out["inv_rk"][i, k - 1] = 1.0 / rks[-1]
+        rks_full = np.array(rks + [1.0])
 
-            # rhos_p = [0.5] simplified (uni_pc.py:647-648)
-            out["c_pred_D1"][i] = -alpha_t * B_h * 0.5
+        # R / b (uni_pc.py:612-630)
+        R_rows, b_vals = [], []
+        h_phi_k = h_phi_1 / hh - 1.0
+        factorial_i = 1.0
+        for j in range(1, o + 1):
+            R_rows.append(rks_full ** (j - 1))
+            b_vals.append(h_phi_k * factorial_i / B_h)
+            factorial_i *= j + 1
+            h_phi_k = h_phi_k / hh - 1.0 / factorial_i
+        R = np.stack(R_rows)
+        b = np.array(b_vals)
 
-            # rhos_c = solve(R, b), R=[[1,1],[rk0,1]]
-            h_phi_k = h_phi_1 / hh - 1.0
-            b1 = h_phi_k * 1.0 / B_h
-            h_phi_k = h_phi_k / hh - 1.0 / 2.0
-            b2 = h_phi_k * 2.0 / B_h
-            R = np.array([[1.0, 1.0], [rk0, 1.0]])
-            rhos_c = np.linalg.solve(R, np.array([b1, b2]))
-            out["c_corr_D1s"][i] = -alpha_t * B_h * rhos_c[0]
-            out["c_corr_D1t"][i] = -alpha_t * B_h * rhos_c[1]
-        else:
-            # order 1: no predictor residual; corrector rhos_c=[0.5]
-            out["c_pred_D1"][i] = 0.0
-            out["inv_rk"][i] = 0.0
-            out["c_corr_D1s"][i] = 0.0
+        # predictor rhos (uni_pc.py:645-650): order 2 -> [0.5]; order 3 ->
+        # solve the leading (o-1)x(o-1) system
+        if o == 2:
+            out["c_pred"][i, 0] = -alpha_t * B_h * 0.5
+        elif o == 3:
+            rhos_p = np.linalg.solve(R[:-1, :-1], b[:-1])
+            out["c_pred"][i, :2] = -alpha_t * B_h * rhos_p
+
+        # corrector rhos (uni_pc.py:652-656): order 1 -> [0.5]
+        if o == 1:
             out["c_corr_D1t"][i] = -alpha_t * B_h * 0.5
+        else:
+            rhos_c = np.linalg.solve(R, b)
+            out["c_corr"][i, : o - 1] = -alpha_t * B_h * rhos_c[:-1]
+            out["c_corr_D1t"][i] = -alpha_t * B_h * rhos_c[-1]
 
     return out
 
@@ -232,9 +261,22 @@ class GaussianDiffusion(nn.Module):
     spec_max: Optional[Sequence[float]] = None
     noise_predictor: Optional[str] = None
     unipc_variant: str = "bh2"
+    unipc_order: int = 2
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        # fail loudly on unsupported UniPC modes (the reference's vendored
+        # library also has vary_coeff/singlestep/CFG, which the framework
+        # never invokes — see unipc_step_table docstring)
+        if self.unipc_variant not in ("bh1", "bh2"):
+            raise ValueError(
+                f"unsupported unipc_variant {self.unipc_variant!r} "
+                "(supported: 'bh1', 'bh2'; vary_coeff/singlestep are not)"
+            )
+        if not 1 <= self.unipc_order <= 3:
+            raise ValueError(
+                f"unsupported unipc_order {self.unipc_order} (supported: 1-3)"
+            )
         self.denoise_fn = DENOISERS.build(dict(self.denoiser))
 
         betas = get_noise_schedule_list(
@@ -417,11 +459,17 @@ class GaussianDiffusion(nn.Module):
         return x
 
     def _sample_unipc(self, x, denoise, steps, t_start=None):
-        """UniPC order-2 multistep sampling (variant bh2 default, bh1 via
-        config), all coefficients precomputed (see ``unipc_step_table``).
-        One denoiser eval per step."""
+        """UniPC multistep sampling (orders 1-3, variant bh2 default / bh1
+        via config), all coefficients precomputed (see ``unipc_step_table``).
+        One denoiser eval per step. The scan carry holds a fixed 2-slot
+        model-output history (the reference keeps Python lists,
+        uni_pc.py:741-790)."""
         table = unipc_step_table(
-            self.coeffs, steps, t_start, variant=self.unipc_variant
+            self.coeffs,
+            steps,
+            t_start,
+            variant=self.unipc_variant,
+            order=self.unipc_order,
         )
         jt = {k: jnp.asarray(v) for k, v in table.items()}
 
@@ -435,31 +483,43 @@ class GaussianDiffusion(nn.Module):
             return (x - sigma_t * noise) / alpha_t
 
         m0 = model_x0(x, 0)
-        m_prev1 = m0  # D1s = 0 for the first (order-1) update
+        # unused history slots stay inert: their inv_rk entries are 0
+        m_prev1 = m0
+        m_prev2 = m0
 
         def body(carry, i):
-            x, m0, m_prev1 = carry
-            D1s = (m_prev1 - m0) * jt["inv_rk"][i]
+            x, m0, m_prev1, m_prev2 = carry
+            D1s_0 = (m_prev1 - m0) * jt["inv_rk"][i, 0]
+            D1s_1 = (m_prev2 - m0) * jt["inv_rk"][i, 1]
 
             x_t_ = jt["c_x"][i] * x + jt["c_m0"][i] * m0
-            x_pred = x_t_ + jt["c_pred_D1"][i] * D1s
+            x_pred = x_t_ + jt["c_pred"][i, 0] * D1s_0 + jt["c_pred"][i, 1] * D1s_1
 
             # corrector (runs on steps 1..steps-1)
             m_t = model_x0(x_pred, i + 1)
             D1_t = m_t - m0
-            x_new = x_t_ + jt["c_corr_D1s"][i] * D1s + jt["c_corr_D1t"][i] * D1_t
+            x_new = (
+                x_t_
+                + jt["c_corr"][i, 0] * D1s_0
+                + jt["c_corr"][i, 1] * D1s_1
+                + jt["c_corr_D1t"][i] * D1_t
+            )
 
-            return (x_new, m_t, m0), None
+            return (x_new, m_t, m0, m_prev1), None
 
         if steps > 1:
-            (x, m0, m_prev1), _ = jax.lax.scan(
-                body, (x, m0, m_prev1), jnp.arange(steps - 1)
+            (x, m0, m_prev1, m_prev2), _ = jax.lax.scan(
+                body, (x, m0, m_prev1, m_prev2), jnp.arange(steps - 1)
             )
 
         # final step: order-1 predictor, no corrector (uni_pc.py:775-781)
         i = steps - 1
-        D1s = (m_prev1 - m0) * jt["inv_rk"][i]
-        x = jt["c_x"][i] * x + jt["c_m0"][i] * m0 + jt["c_pred_D1"][i] * D1s
+        x = (
+            jt["c_x"][i] * x
+            + jt["c_m0"][i] * m0
+            + jt["c_pred"][i, 0] * (m_prev1 - m0) * jt["inv_rk"][i, 0]
+            + jt["c_pred"][i, 1] * (m_prev2 - m0) * jt["inv_rk"][i, 1]
+        )
         return x
 
     # -- inference entry ----------------------------------------------------

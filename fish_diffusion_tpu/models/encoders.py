@@ -127,39 +127,125 @@ class QuantizedPitchEncoder(nn.Module):
         )(idx)
 
 
-@ENCODERS.register_module()
-class BertEncoder:
-    """HF BERT text encoder (reference ``modules/encoders/bert.py:10``).
+class BertLayer(nn.Module):
+    """One post-LN BERT encoder block (HF BertLayer layout)."""
 
-    A preprocessing-time component (runs on tokenized text, not in the jit
-    hot path); loads from a LOCAL model directory — HF hub access needs
-    network, which production TPU pods often lack.
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    layer_norm_eps: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias):
+        h, n_heads = self.hidden_size, self.num_heads
+        head_dim = h // n_heads
+        B, L, _ = x.shape
+
+        q = nn.Dense(h, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(h, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(h, dtype=self.dtype, name="v")(x)
+        q = q.reshape(B, L, n_heads, head_dim)
+        k = k.reshape(B, L, n_heads, head_dim)
+        v = v.reshape(B, L, n_heads, head_dim)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, x.dtype)
+        )
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, h)
+
+        attn_out = nn.Dense(h, dtype=self.dtype, name="attn_out")(ctx)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="attn_ln")(x + attn_out)
+
+        inter = jax.nn.gelu(
+            nn.Dense(self.intermediate_size, dtype=self.dtype, name="intermediate")(x),
+            approximate=False,  # HF "gelu" = exact erf form
+        )
+        out = nn.Dense(h, dtype=self.dtype, name="output")(inter)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="output_ln")(x + out)
+
+
+@ENCODERS.register_module()
+class BertEncoder(nn.Module):
+    """Trainable flax BERT text encoder (reference
+    ``modules/encoders/bert.py:10`` wraps HF AutoModel; here the net is
+    native flax in the HF BertModel layout so it jits, shards and takes
+    gradients inside an arch like any other encoder).
+
+    Weights: convert a HF BERT checkpoint with
+    ``tools/tts/convert_bert_checkpoint.py`` and load through the normal
+    pretrained-surgery path. ``__call__(input_ids, masks)`` follows this
+    framework's encoder convention (masks True = padding) and returns the
+    projected, padding-zeroed hidden states — matching the reference's
+    ``x * attention_mask`` (bert.py:33-44).
     """
 
-    def __init__(self, model_name: str = "bert-base-cased", pretrained: bool = True):
-        self.model_name = model_name
-        self.pretrained = pretrained
-        self._model = None
-        self._tokenizer = None
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    output_size: Optional[int] = None
+    layer_norm_eps: float = 1e-12
+    # parity kwargs with the reference config surface (weights come from the
+    # converter, not the HF hub)
+    model_name: Optional[str] = None
+    pretrained: bool = True
+    dtype: Dtype = jnp.float32
 
-    def _load(self):
-        if self._model is None:
-            from transformers import AutoModel, AutoTokenizer
+    @nn.compact
+    def __call__(self, input_ids, masks=None, token_type_ids=None):
+        input_ids = jnp.asarray(input_ids)
+        if input_ids.ndim == 3:  # [B, L, 1] from generic pipelines
+            input_ids = input_ids[..., 0]
+        input_ids = input_ids.astype(jnp.int32)
+        B, L = input_ids.shape
 
-            self._tokenizer = AutoTokenizer.from_pretrained(self.model_name)
-            self._model = AutoModel.from_pretrained(self.model_name)
-            self._model.eval()
-        return self._model, self._tokenizer
+        attention_mask = (
+            jnp.ones((B, L), jnp.float32)
+            if masks is None
+            else 1.0 - masks.astype(jnp.float32)
+        )
 
-    def __call__(self, texts, masks=None):
-        import numpy as np
-        import torch
+        we = nn.Embed(self.vocab_size, self.hidden_size, name="word_embeddings")(
+            input_ids
+        )
+        pe = nn.Embed(
+            self.max_position_embeddings, self.hidden_size, name="position_embeddings"
+        )(jnp.arange(L))
+        tt = (
+            jnp.zeros_like(input_ids)
+            if token_type_ids is None
+            else token_type_ids.astype(jnp.int32)
+        )
+        te = nn.Embed(self.type_vocab_size, self.hidden_size, name="token_type_embeddings")(
+            tt
+        )
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="embeddings_ln")(
+            we + pe[None, :, :] + te
+        )
 
-        model, tokenizer = self._load()
-        enc = tokenizer(list(texts), return_tensors="pt", padding=True)
-        with torch.no_grad():
-            out = model(**enc).last_hidden_state
-        return np.asarray(out)
+        # HF extended attention mask: 0 where attended, large negative at pad
+        bias = (1.0 - attention_mask)[:, None, None, :] * jnp.asarray(
+            -1e9, x.dtype
+        )
+        for i in range(self.num_layers):
+            x = BertLayer(
+                self.hidden_size,
+                self.num_heads,
+                self.intermediate_size,
+                self.layer_norm_eps,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(x, bias)
+
+        if self.output_size is not None and self.output_size != self.hidden_size:
+            x = nn.Dense(self.output_size, dtype=self.dtype, name="proj")(x)
+
+        return x * attention_mask[:, :, None].astype(x.dtype)
 
 
 @ENCODERS.register_module()

@@ -66,9 +66,14 @@ class Discriminators:
             self.second = MultiScaleDiscriminator()
 
     def init(self, rng, wav):
-        p_mpd = self.mpd.init(rng, wav)["params"]
-        p_2 = self.second.init(jax.random.fold_in(rng, 1), wav)["params"]
-        return {"mpd": p_mpd, "second": p_2}
+        # jit the init: eager flax init executes op-by-op, which is
+        # pathologically slow over a remote-device tunnel
+        def _init(rng, wav):
+            p_mpd = self.mpd.init(rng, wav)["params"]
+            p_2 = self.second.init(jax.random.fold_in(rng, 1), wav)["params"]
+            return {"mpd": p_mpd, "second": p_2}
+
+        return jax.jit(_init)(rng, wav)
 
     def apply(self, params, wav):
         s1, f1 = self.mpd.apply({"params": params["mpd"]}, wav)
@@ -84,7 +89,7 @@ def create_gan_state(
     optimizer_g: optax.GradientTransformation,
     optimizer_d: optax.GradientTransformation,
 ) -> GANTrainState:
-    params_g = generator_init()
+    params_g = jax.jit(generator_init)()
     params_d = discriminators.init(jax.random.fold_in(rng, 7), example_wav)
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),

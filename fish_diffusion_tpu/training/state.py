@@ -72,7 +72,9 @@ def create_train_state(
     ema_momentum: Optional[float] = None,
 ) -> TrainState:
     params_rng, diff_rng = jax.random.split(rng)
-    variables = model.init(
+    # jit the init: eager flax init runs op-by-op, which is pathologically
+    # slow over a remote-device tunnel
+    variables = jax.jit(model.init)(
         {"params": params_rng, "diffusion": diff_rng},
         **_model_kwargs(example_batch),
     )

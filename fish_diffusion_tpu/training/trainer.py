@@ -31,10 +31,80 @@ from .optim import build_lr_schedule, build_optimizer
 from .state import _model_kwargs, create_train_state, make_train_step
 
 
-class MetricsLogger:
-    """JSONL always; TensorBoard when the package is importable."""
+class ExperimentLogger:
+    """Optional experiment-tracking backend hook (WandB-shaped interface).
 
-    def __init__(self, log_dir):
+    The reference defaults to ``WandbLogger(log_model=True, resume="must",
+    id=...)`` (``tools/diffusion/train.py:108-119``). wandb is not bundled
+    with this image, so ``MetricsLogger`` accepts any object with this
+    surface; ``WandbExperimentLogger`` below binds it to wandb when that
+    package exists.
+    """
+
+    def init_run(self, project: str, name: Optional[str], run_id: Optional[str],
+                 resume: bool, config: Optional[dict]) -> str:
+        """Start/resume a run; returns the (possibly generated) run id."""
+        raise NotImplementedError
+
+    def log_scalars(self, step: int, scalars: dict):
+        raise NotImplementedError
+
+    def log_artifact(self, path, kind: str = "model"):
+        """``log_model=True`` equivalent: upload a checkpoint artifact."""
+        raise NotImplementedError
+
+    def finish(self):
+        pass
+
+
+class WandbExperimentLogger(ExperimentLogger):
+    """Binds the hook to wandb when importable (reference
+    tools/diffusion/train.py:111-119: run-id resume + log_model)."""
+
+    def __init__(self, entity: Optional[str] = None):
+        import wandb  # raises cleanly when absent
+
+        self._wandb = wandb
+        self._entity = entity
+        self._run = None
+
+    def init_run(self, project, name, run_id, resume, config):
+        self._run = self._wandb.init(
+            project=project,
+            entity=self._entity,
+            name=name,
+            id=run_id,
+            resume="must" if (resume and run_id) else None,
+            config=config,
+        )
+        return self._run.id
+
+    def log_scalars(self, step, scalars):
+        self._wandb.log(dict(scalars), step=step)
+
+    def log_artifact(self, path, kind="model"):
+        art = self._wandb.Artifact(Path(path).stem, type=kind)
+        art.add_dir(str(path)) if Path(path).is_dir() else art.add_file(str(path))
+        self._run.log_artifact(art)
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()
+
+
+class MetricsLogger:
+    """JSONL always; TensorBoard when the package is importable; plus an
+    optional ``ExperimentLogger`` backend (WandB-shaped hook).
+
+    Run-id resume parity: the active run id persists in
+    ``<log_dir>/run_id.txt`` so a restart can hand the same id back to the
+    backend (reference ``tools/diffusion/train.py:111-119``).
+    """
+
+    def __init__(self, log_dir, backend: Optional[ExperimentLogger] = None,
+                 project: str = "fish-diffusion-tpu",
+                 run_name: Optional[str] = None,
+                 resume: bool = False, config: Optional[dict] = None):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / "metrics.jsonl", "a")
@@ -45,6 +115,17 @@ class MetricsLogger:
         except Exception:
             self._tb = None
 
+        self.backend = backend
+        if backend is not None:
+            run_id_file = self.log_dir / "run_id.txt"
+            prev_id = (
+                run_id_file.read_text().strip()
+                if (resume and run_id_file.exists())
+                else None
+            )
+            run_id = backend.init_run(project, run_name, prev_id, resume, config)
+            run_id_file.write_text(str(run_id))
+
     def log_scalars(self, step: int, scalars: dict):
         rec = {"step": step, "time": time.time(), **{k: float(v) for k, v in scalars.items()}}
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -52,6 +133,13 @@ class MetricsLogger:
         if self._tb:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self.backend is not None:
+            self.backend.log_scalars(step, scalars)
+
+    def log_model(self, checkpoint_path):
+        """reference WandbLogger(log_model=True) equivalent."""
+        if self.backend is not None:
+            self.backend.log_artifact(checkpoint_path, kind="model")
 
     def log_figure(self, step: int, tag: str, fig):
         if self._tb:
@@ -79,6 +167,8 @@ class MetricsLogger:
         self._jsonl.close()
         if self._tb:
             self._tb.close()
+        if self.backend is not None:
+            self.backend.finish()
 
 
 class Trainer:
@@ -91,6 +181,9 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         mesh=None,
         steps_per_epoch: Optional[int] = None,
+        logger_backend: Optional["ExperimentLogger"] = None,
+        run_name: Optional[str] = None,
+        resume_run: bool = False,
     ):
         from ..models import build_model
         from ..registry import VOCODERS
@@ -132,7 +225,13 @@ class Trainer:
         self.val_check_interval = tc.get("val_check_interval", 5000)
         self.log_every_n_steps = tc.get("log_every_n_steps", 10)
 
-        self.logger = MetricsLogger(log_dir)
+        self.logger = MetricsLogger(
+            log_dir,
+            backend=logger_backend,
+            run_name=run_name,
+            resume=resume_run,
+            config=dict(config) if logger_backend is not None else None,
+        )
         self.ckpt = CheckpointManager(
             checkpoint_dir or (Path(log_dir) / "checkpoints"),
             save_top_k=tc.get("checkpoint", {}).get("save_top_k", -1),

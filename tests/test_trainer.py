@@ -241,3 +241,45 @@ class TestTrainerLoRA:
             for leaf in jax.tree_util.tree_leaves(state.lora)
         ]
         assert flat, "no adapters created"
+
+
+class TestExperimentLoggerHook:
+    """WandB-shaped backend hook on MetricsLogger (reference
+    tools/diffusion/train.py:108-119: log_model + run-id resume)."""
+
+    def test_backend_receives_calls_and_run_id_persists(self, tmp_path):
+        from fish_diffusion_tpu.training.trainer import (
+            ExperimentLogger,
+            MetricsLogger,
+        )
+
+        class FakeBackend(ExperimentLogger):
+            def __init__(self):
+                self.scalars, self.artifacts, self.inits = [], [], []
+
+            def init_run(self, project, name, run_id, resume, config):
+                self.inits.append((project, name, run_id, resume))
+                return run_id or "run-xyz"
+
+            def log_scalars(self, step, scalars):
+                self.scalars.append((step, dict(scalars)))
+
+            def log_artifact(self, path, kind="model"):
+                self.artifacts.append((str(path), kind))
+
+        be = FakeBackend()
+        lg = MetricsLogger(tmp_path, backend=be, run_name="exp1")
+        lg.log_scalars(10, {"loss": 0.5})
+        lg.log_model(tmp_path / "ckpt")
+        lg.close()
+
+        assert be.inits == [("fish-diffusion-tpu", "exp1", None, False)]
+        assert be.scalars == [(10, {"loss": 0.5})]
+        assert be.artifacts == [(str(tmp_path / "ckpt"), "model")]
+        assert (tmp_path / "run_id.txt").read_text() == "run-xyz"
+
+        # resume hands the stored id back
+        be2 = FakeBackend()
+        MetricsLogger(tmp_path, backend=be2, resume=True)
+        assert be2.inits[0][2] == "run-xyz"
+        assert be2.inits[0][3] is True

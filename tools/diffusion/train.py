@@ -27,6 +27,14 @@ def main():
     parser.add_argument("--only-train-speaker-embeddings", action="store_true")
     parser.add_argument("--log-dir", type=str, default="logs")
     parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--wandb", action="store_true",
+                        help="log to wandb (reference default logger; the "
+                        "package must be installed)")
+    parser.add_argument("--entity", type=str, default=None,
+                        help="wandb entity (reference train.py:113)")
+    parser.add_argument("--resume-id", action="store_true",
+                        help="resume the run id stored in <log-dir>/run_id.txt "
+                        "(reference train.py:115-117)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace of the first steps")
@@ -55,8 +63,20 @@ def main():
 
     cfg = Config.fromfile(args.config)
 
+    backend = None
+    if args.wandb:
+        from fish_diffusion_tpu.training.trainer import WandbExperimentLogger
+
+        backend = WandbExperimentLogger(entity=args.entity)
+
     log_dir = Path(args.log_dir) / (args.name or Path(args.config).stem)
-    trainer = Trainer(cfg, log_dir=str(log_dir))
+    trainer = Trainer(
+        cfg,
+        log_dir=str(log_dir),
+        logger_backend=backend,
+        run_name=args.name,
+        resume_run=args.resume_id or bool(args.resume),
+    )
 
     n_devices = trainer.n_devices
     print(f"[train] mesh: {trainer.mesh}; devices: {n_devices}")

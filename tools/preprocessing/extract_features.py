@@ -243,6 +243,14 @@ def main():
     parser.add_argument("--rank", type=int, default=0)
     parser.add_argument("--world-size", type=int, default=1)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--num-workers",
+        type=int,
+        default=1,
+        help="fan out N subprocesses with rank/world-size file sharding "
+        "(reference extract_features.py:262-308; device pinning is per-host "
+        "on TPU, so workers share the host CPU extractors)",
+    )
     args = parser.parse_args()
 
     from fish_diffusion_tpu.config import Config
@@ -255,6 +263,32 @@ def main():
         for f in root.rglob("*.npy"):
             f.unlink()
         print("[extract] cleaned existing .npy files")
+
+    # subprocess self-spawn (reference extract_features.py:262-308): the
+    # parent becomes a supervisor; children re-run this CLI with
+    # --rank/--world-size striding over the same file list
+    if args.num_workers > 1 and args.world_size == 1:
+        import subprocess
+        import sys
+
+        cmd_base = [
+            sys.executable,
+            str(Path(__file__).resolve()),
+            "--config", args.config,
+            "--path", args.path,
+            "--seed", str(args.seed),
+            "--world-size", str(args.num_workers),
+        ]
+        procs = [
+            subprocess.Popen(cmd_base + ["--rank", str(rank)])
+            for rank in range(args.num_workers)
+        ]
+        codes = [p.wait() for p in procs]
+        failed = [r for r, c in enumerate(codes) if c != 0]
+        if failed:
+            raise SystemExit(f"[extract] worker ranks failed: {failed}")
+        print(f"[extract] all {args.num_workers} workers done")
+        return
 
     files = sorted(
         p for p in root.rglob("*") if p.suffix.lower() in AUDIO_EXTS
