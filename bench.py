@@ -12,9 +12,10 @@ Reported fields (VERDICT r1 weak #4 asked for unambiguous semantics):
 - ``b1_latency_ms_3s_clip``: batch=1 wall-clock to synthesize one 3-second
   clip (256 frames) — the realtime VST/TCP serving number.
 - ``train_mel_frames_per_sec_per_chip``: diffusion training throughput.
-- ``gan_*``: GAN training throughput, read from the committed
-  ``docs/artifacts/gan_run_r02.json`` proof-run artifact (the adversarial
-  step takes minutes to compile, so it is not re-run here every round).
+- ``gan_*`` / ``vocoder_*``: GAN training throughput, read from the committed
+  ``docs/artifacts/{gan,vocoder}_run_r02.json`` proof-run artifacts (the
+  adversarial step takes minutes to compile, so it is not re-run here every
+  round; re-generate with ``tools/hifisinger/prove_training.py``).
 
 The torch reference publishes no numbers (SURVEY.md §6); vs_baseline is RTF
 relative to real-time (1.0 = real-time synthesis).
@@ -179,19 +180,25 @@ def main():
     train_fps = _bench_training()
 
     gan = {}
-    try:
-        with open("docs/artifacts/gan_run_r02.json") as f:
-            g = json.load(f)
-        gan = {
-            "gan_steps_per_sec": round(g["steps_per_sec_steady"], 3),
-            "gan_audio_sec_per_sec": round(g["audio_sec_per_sec"], 2),
-            "gan_loss_mel_trend": [
-                round(g["loss_mel_first_fifth"], 4),
-                round(g["loss_mel_last_fifth"], 4),
-            ],
-        }
-    except Exception:
-        pass
+    for prefix, path in (
+        ("gan", "docs/artifacts/gan_run_r02.json"),
+        ("vocoder", "docs/artifacts/vocoder_run_r02.json"),
+    ):
+        try:
+            with open(path) as f:
+                g = json.load(f)
+            gan.update(
+                {
+                    f"{prefix}_steps_per_sec": round(g["steps_per_sec_steady"], 3),
+                    f"{prefix}_audio_sec_per_sec": round(g["audio_sec_per_sec"], 2),
+                    f"{prefix}_loss_mel_trend": [
+                        round(g["loss_mel_first_fifth"], 4),
+                        round(g["loss_mel_last_fifth"], 4),
+                    ],
+                }
+            )
+        except Exception:
+            pass
 
     print(
         json.dumps(

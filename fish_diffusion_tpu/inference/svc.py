@@ -15,6 +15,12 @@ Capability parity with the reference ``tools/diffusion/inference.py``
 TPU-first: every segment is padded to a FRAME BUCKET (power-of-two-ish
 ladder) before the jitted sample step, so arbitrary-length audio reuses a
 handful of compiled programs; padding is masked out of the condition.
+
+Scaling (beyond reference parity): pass ``mesh=`` to shard batched sampling
+over the ``data`` axis of a ``jax.sharding.Mesh`` — ``forward_batch`` stacks
+same-bucket segments and XLA:GSPMD data-parallels the reverse diffusion +
+vocoder across chips (aggregate RTF scales ~linearly over ICI; the per-stream
+RTF is unchanged). The reference has no multi-GPU inference path.
 """
 
 from __future__ import annotations
@@ -49,10 +55,11 @@ def _bucket_for(n_frames: int) -> int:
 
 
 class SVCInference:
-    def __init__(self, config, checkpoint: Optional[str] = None):
+    def __init__(self, config, checkpoint: Optional[str] = None, mesh=None):
         if isinstance(config, (str, Path)):
             config = Config.fromfile(config)
         self.config = config
+        self.mesh = mesh
 
         import fish_diffusion_tpu.extractors  # noqa: F401
 
@@ -213,25 +220,23 @@ class SVCInference:
             self._sample_cache[key] = jax.jit(fn)
         return self._sample_cache[key]
 
-    def forward(
+    def _prepare_segment(
         self,
         audio: np.ndarray,
-        speakers,
-        pitch_adjust: float = 0.0,
-        sampler_interval: Optional[int] = None,
-        skip_steps: int = 0,
-        noise_predictor: Optional[str] = None,
-        seed: int = 0,
-        pitches: Optional[np.ndarray] = None,
-    ) -> np.ndarray:
-        """One audio segment -> converted audio (reference inference.py:81-162).
+        pitch_adjust: float,
+        pitches: Optional[np.ndarray],
+        bucket: int,
+        shallow: bool = False,
+    ):
+        """Per-segment condition extraction, padded to ``bucket`` frames.
 
-        ``pitches``: optional externally-supplied frame f0 curve; bypasses the
-        pitch extractor (reference inference.py:107-111) — the curve is
-        repeat_expand-ed to the mel length and NaNs are zeroed.
+        Returns None for an unvoiced segment (reference inference.py:112),
+        else a dict of host arrays:
+        ``contents [bucket, C]``, ``pitches [bucket]``,
+        ``pitches_true [mel_len]``, ``mel_len``, ``energy [bucket] | None``,
+        ``original_mel [bucket, M] | None`` (shallow-diffusion warm start).
         """
         mel_len = len(audio) // self.hop_length
-        bucket = _bucket_for(mel_len)
 
         # extract on bucket-padded audio so extractor jits compile once per
         # bucket (static-shape discipline), then crop to true frames
@@ -255,7 +260,7 @@ class SVCInference:
             )
         pitches = pitches * 2 ** (pitch_adjust / 12)
         if (pitches == 0).all():
-            return np.zeros_like(audio)  # no voice, skip (inference.py:112)
+            return None
 
         contents = self.text_features_extractor(audio_padded, self.sampling_rate)
         t_feat = contents.shape[-1]
@@ -266,7 +271,6 @@ class SVCInference:
             repeat_expand(jnp.asarray(contents[0, :, :t_true]), mel_len)
         ).T
 
-        # pad to bucket
         pad = bucket - mel_len
         contents_p = np.pad(contents, ((0, pad), (0, 0)))
         pitches_p = np.pad(pitches, (0, pad))
@@ -281,20 +285,64 @@ class SVCInference:
             e = np.asarray(
                 self.energy_extractor(audio, self.sampling_rate, pad_to=mel_len)
             )
-            energy = jnp.asarray(np.pad(e, (0, pad)))[None, :, None]
+            energy = np.pad(e, (0, pad))
+
+        original_mel = None
+        if shallow:
+            mel = np.asarray(self.vocoder.wav2spec(jnp.asarray(audio)[None]))[0]
+            original_mel = np.pad(mel, ((0, pad), (0, 0)))
+
+        return {
+            "contents": contents_p,
+            "pitches": pitches_p,
+            "pitches_true": pitches[:mel_len],
+            "mel_len": mel_len,
+            "energy": energy,
+            "original_mel": original_mel,
+        }
+
+    def forward(
+        self,
+        audio: np.ndarray,
+        speakers,
+        pitch_adjust: float = 0.0,
+        sampler_interval: Optional[int] = None,
+        skip_steps: int = 0,
+        noise_predictor: Optional[str] = None,
+        seed: int = 0,
+        pitches: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """One audio segment -> converted audio (reference inference.py:81-162).
+
+        ``pitches``: optional externally-supplied frame f0 curve; bypasses the
+        pitch extractor (reference inference.py:107-111) — the curve is
+        repeat_expand-ed to the mel length and NaNs are zeroed.
+        """
+        mel_len = len(audio) // self.hop_length
+        bucket = _bucket_for(mel_len)
+
+        seg = self._prepare_segment(
+            audio, pitch_adjust, pitches, bucket, shallow=skip_steps > 0
+        )
+        if seg is None:
+            return np.zeros_like(audio)  # no voice, skip (inference.py:112)
+
+        contents_p, pitches_p = seg["contents"], seg["pitches"]
+        pitches = seg["pitches_true"]
+        energy = (
+            jnp.asarray(seg["energy"])[None, :, None]
+            if seg["energy"] is not None
+            else None
+        )
         pitch_shift = (
             jnp.zeros((1, 1))
             if self.config.model.get("pitch_shift_encoder")
             else None
         )
-
         shallow = skip_steps > 0
-        original_mel = None
-        if shallow:
-            mel = np.asarray(
-                self.vocoder.wav2spec(jnp.asarray(audio)[None])
-            )[0]
-            original_mel = np.pad(mel, ((0, pad), (0, 0)))[None]
+        original_mel = (
+            seg["original_mel"][None] if seg["original_mel"] is not None else None
+        )
 
         fn = self._sample_fn(
             bucket,
@@ -322,6 +370,149 @@ class SVCInference:
             mel_out, jnp.asarray(pitches[:mel_len])[None]
         )
         return np.asarray(wav[0])[: len(audio)]
+
+    # -- batched / mesh-sharded forward --------------------------------------
+
+    def _params_for_mesh(self):
+        """Replicate params onto the mesh once (cached)."""
+        if getattr(self, "_mesh_params", None) is None:
+            from ..parallel.mesh import replicated_sharding
+
+            self._mesh_params = jax.device_put(
+                self.params, replicated_sharding(self.mesh)
+            )
+        return self._mesh_params
+
+    def forward_batch(
+        self,
+        segments,
+        speakers,
+        pitch_adjust: float = 0.0,
+        sampler_interval: Optional[int] = None,
+        skip_steps: int = 0,
+        noise_predictor: Optional[str] = None,
+        seed: int = 0,
+        pitches_list=None,
+    ):
+        """Convert N audio segments in ONE batched sample call.
+
+        With ``mesh`` set on the engine, the batch axis is sharded over the
+        mesh's ``data`` axis and XLA:GSPMD data-parallels the reverse
+        diffusion + vocoder across chips (ICI): aggregate throughput scales
+        ~linearly with chips at fixed per-stream RTF. The reference has no
+        batched or multi-device inference path (its batch mode loops files
+        one by one, ``tools/diffusion/inference.py:259-291``).
+
+        Returns a list of converted waveforms, one per input segment
+        (unvoiced segments come back as silence, matching ``forward``).
+        """
+        assert self.params is not None, "load a checkpoint first"
+        n = len(segments)
+        if n == 0:
+            return []
+        if pitches_list is None:
+            pitches_list = [None] * n
+
+        shallow = skip_steps > 0
+        bucket = max(
+            _bucket_for(len(a) // self.hop_length) for a in segments
+        )
+
+        preps, voiced_idx = [], []
+        for i, (audio, pf) in enumerate(zip(segments, pitches_list)):
+            seg = self._prepare_segment(
+                audio, pitch_adjust, pf, bucket, shallow=shallow
+            )
+            if seg is not None:
+                preps.append(seg)
+                voiced_idx.append(i)
+
+        outputs = [np.zeros_like(np.asarray(a, np.float32)) for a in segments]
+        if not preps:
+            return outputs
+
+        nv = len(preps)
+        # pad the batch so the leading axis divides the mesh's data axis
+        n_pad = 0
+        if self.mesh is not None:
+            nd = int(self.mesh.shape["data"])
+            n_pad = (-nv) % nd
+
+        def stack(key, pad_row=None):
+            rows = [p[key] for p in preps]
+            if rows[0] is None:
+                return None
+            arr = np.stack(rows)
+            if n_pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], n_pad, 0)])
+            return arr
+
+        contents = stack("contents")
+        pitches = stack("pitches")
+        lens = np.asarray([p["mel_len"] for p in preps], np.int32)
+        if n_pad:
+            lens = np.concatenate([lens, np.repeat(lens[-1:], n_pad)])
+        energy = stack("energy")
+        original_mel = stack("original_mel")
+        nb = nv + n_pad
+
+        # broadcast the parsed speaker ([1] id or [1, 1, H] embedding mix)
+        speakers = jnp.asarray(speakers)
+        reps = (nb,) + (1,) * (speakers.ndim - 1)
+        speakers_b = jnp.tile(speakers, reps)
+
+        batch = {
+            "contents": jnp.asarray(contents),
+            "contents_lens": jnp.asarray(lens),
+            "pitches": jnp.asarray(pitches),
+        }
+        if energy is not None:
+            batch["energy"] = jnp.asarray(energy)[:, :, None]
+        if original_mel is not None:
+            batch["original_mel"] = jnp.asarray(original_mel)
+
+        params = self.params
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+            speakers_b = jax.device_put(speakers_b, sh)
+            params = self._params_for_mesh()
+
+        pitch_shift = (
+            jnp.zeros((nb, 1))
+            if self.config.model.get("pitch_shift_encoder")
+            else None
+        )
+
+        fn = self._sample_fn(
+            bucket,
+            sampler_interval,
+            skip_steps,
+            noise_predictor,
+            shallow,
+            energy is not None,
+            pitch_shift is not None,
+        )
+        mel_out = fn(
+            params,
+            speakers_b,
+            batch["contents"],
+            batch["contents_lens"],
+            batch["pitches"],
+            batch.get("original_mel"),
+            batch.get("energy"),
+            pitch_shift,
+            jax.random.PRNGKey(seed),
+        )
+
+        # vocode at the full bucket (static shape); crop per segment after
+        wav = np.asarray(self.vocoder.spec2wav(mel_out, batch["pitches"]))
+        for j, i in enumerate(voiced_idx):
+            n_samples = min(len(segments[i]), preps[j]["mel_len"] * self.hop_length)
+            outputs[i][:n_samples] = wav[j, :n_samples]
+        return outputs
 
     # -- end-to-end ---------------------------------------------------------
 
