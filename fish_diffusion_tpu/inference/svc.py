@@ -531,6 +531,7 @@ class SVCInference:
         pitches_path: Optional[str] = None,
         extract_vocals: bool = False,
         seed: int = 0,
+        batch_segments: int = 0,
     ):
         """Full pipeline (reference inference.py:222-389).
 
@@ -538,6 +539,12 @@ class SVCInference:
         CLI defaults to True — demucs is not bundled with this image, so
         vocal separation is opt-in; pass ``--extract-vocals`` explicitly when
         converting mixed tracks (the demucs-missing error will surface).
+
+        ``batch_segments > 1`` groups same-bucket segments into batched
+        sample calls of at most that size (``forward_batch``) — with a mesh
+        on the engine the group is data-parallel across chips. Throughput
+        mode: outputs are statistically equivalent but not sample-identical
+        to the sequential path (noise is drawn per batch, not per segment).
         """
         assert self.params is not None, "load a checkpoint first"
         assert self.vocoder is not None, "vocoder unavailable"
@@ -584,24 +591,53 @@ class SVCInference:
         )
         print(f"[inference] {len(segments)} segments")
 
-        for i, (start, end) in enumerate(segments):
-            segment = audio[start:end]
-            seg_pitches = None
-            if full_pitches is not None:
-                seg_pitches = full_pitches[
-                    start // self.hop_length : end // self.hop_length
-                ]
-            out = self.forward(
-                segment,
-                speakers,
-                pitch_adjust=pitch_adjust,
-                sampler_interval=sampler_interval,
-                skip_steps=skip_steps,
-                noise_predictor=noise_predictor,
-                seed=seed + i,
-                pitches=seg_pitches,
-            )
-            generated[start : start + len(out)] = out[: end - start]
+        def seg_pitches_for(start, end):
+            if full_pitches is None:
+                return None
+            return full_pitches[
+                start // self.hop_length : end // self.hop_length
+            ]
+
+        if batch_segments > 1 and len(segments) > 1:
+            # group same-bucket segments, then run batched (mesh-sharded
+            # when the engine has one) sample calls
+            groups = {}
+            for i, (start, end) in enumerate(segments):
+                b = _bucket_for((end - start) // self.hop_length)
+                groups.setdefault(b, []).append(i)
+            for b in sorted(groups):
+                idxs = groups[b]
+                for c0 in range(0, len(idxs), batch_segments):
+                    chunk = idxs[c0 : c0 + batch_segments]
+                    outs = self.forward_batch(
+                        [audio[s:e] for s, e in (segments[i] for i in chunk)],
+                        speakers,
+                        pitch_adjust=pitch_adjust,
+                        sampler_interval=sampler_interval,
+                        skip_steps=skip_steps,
+                        noise_predictor=noise_predictor,
+                        seed=seed + chunk[0],
+                        pitches_list=[
+                            seg_pitches_for(*segments[i]) for i in chunk
+                        ],
+                    )
+                    for i, out in zip(chunk, outs):
+                        start, end = segments[i]
+                        generated[start : start + len(out)] = out[: end - start]
+        else:
+            for i, (start, end) in enumerate(segments):
+                segment = audio[start:end]
+                out = self.forward(
+                    segment,
+                    speakers,
+                    pitch_adjust=pitch_adjust,
+                    sampler_interval=sampler_interval,
+                    skip_steps=skip_steps,
+                    noise_predictor=noise_predictor,
+                    seed=seed + i,
+                    pitches=seg_pitches_for(start, end),
+                )
+                generated[start : start + len(out)] = out[: end - start]
 
         save_wav(output_path, generated, self.sampling_rate)
         return generated

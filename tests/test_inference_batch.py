@@ -168,6 +168,26 @@ def test_forward_batch_mesh_matches_single_device(engine):
         np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3)
 
 
+def test_inference_batch_segments_path(engine, tmp_path):
+    """`inference(batch_segments=N)` groups slices into batched sample calls
+    and still writes a full-length output file."""
+    from fish_diffusion_tpu.utils.audio import load_wav, save_wav
+
+    t = np.arange(int(1.8 * SR)) / SR
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    src = tmp_path / "in.wav"
+    dst = tmp_path / "out.wav"
+    save_wav(src, audio, SR)
+
+    out = engine.inference(
+        src, dst, speaker=0, max_slice_duration=0.6, batch_segments=4, seed=5
+    )
+    assert len(out) == len(audio)
+    assert np.abs(out).max() > 0
+    written, sr = load_wav(dst)
+    assert sr == SR and len(written) == len(audio)
+
+
 def test_forward_batch_unvoiced_padding(engine):
     """An all-silent segment comes back as silence; mesh batch padding (2
     voiced -> pad to 8 rows on an 8-way mesh) must not corrupt outputs."""

@@ -34,12 +34,25 @@ def main():
                         help="restore a frame-f0 curve from .json/.npy")
     parser.add_argument("--batch", action="store_true",
                         help="treat input/output as directories")
+    parser.add_argument("--batch-segments", type=int, default=0,
+                        help="group up to N same-bucket segments per sample "
+                        "call (throughput mode; >1 enables batching)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard batched sample calls over all devices "
+                        "(jax.sharding data axis); use with --batch-segments")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
     from fish_diffusion_tpu.inference import SVCInference
 
-    engine = SVCInference(args.config, args.checkpoint)
+    mesh = None
+    if args.data_parallel:
+        from fish_diffusion_tpu.parallel import make_mesh
+
+        mesh = make_mesh(axis_shapes=(-1,), axis_names=("data",))
+        print(f"[inference] data-parallel over {mesh.shape['data']} devices")
+
+    engine = SVCInference(args.config, args.checkpoint, mesh=mesh)
 
     kwargs = dict(
         speaker=args.speaker,
@@ -53,6 +66,7 @@ def main():
         extract_vocals=args.extract_vocals,
         pitches_path=args.pitches_path,
         seed=args.seed,
+        batch_segments=args.batch_segments,
     )
 
     if args.batch:
