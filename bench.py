@@ -187,10 +187,13 @@ def main():
         try:
             with open(path) as f:
                 g = json.load(f)
+            audio_sps = g.get("audio_sec_per_sec") or (
+                g["steps_per_sec_steady"] * g["batch"] * g["segment_size"] / SR
+            )
             gan.update(
                 {
                     f"{prefix}_steps_per_sec": round(g["steps_per_sec_steady"], 3),
-                    f"{prefix}_audio_sec_per_sec": round(g["audio_sec_per_sec"], 2),
+                    f"{prefix}_audio_sec_per_sec": round(audio_sps, 2),
                     f"{prefix}_loss_mel_trend": [
                         round(g["loss_mel_first_fifth"], 4),
                         round(g["loss_mel_last_fifth"], 4),

@@ -133,52 +133,6 @@ class WaveNet(nn.Module):
     dilation_cycle: Optional[int] = None
     dtype: Dtype = jnp.float32
     remat: bool = False
-    use_pallas: bool = False  # fused-block kernel on the sampling path
-
-    def _pallas_blocks(self, x, step, cond_stack, dilations):
-        """Run the residual stack through the fused Pallas block kernel
-        (sampling path: conditioner already hoisted per block)."""
-        from ..ops.pallas_wavenet import fused_residual_block
-
-        interpret = jax.default_backend() != "tpu"
-        p = self.variables["params"]["residual_layers"]
-        dt = self.dtype
-
-        # per-block step projections [L, B, r]
-        dp = p["diffusion_projection"]["Dense_0"]
-        steps_all = jnp.einsum(
-            "bc,lcr->lbr", step, jnp.asarray(dp["kernel"], dt)
-        )
-        if "bias" in dp:
-            steps_all = steps_all + jnp.asarray(dp["bias"], dt)[:, None, :]
-
-        conv = p["conv_layer"]
-        outp = p["output_projection"]["Dense_0"]
-
-        xs = (
-            jnp.asarray(dilations),
-            jnp.asarray(conv["w_left"]["kernel"], dt),
-            jnp.asarray(conv["w_center"]["kernel"], dt),
-            jnp.asarray(conv["w_right"]["kernel"], dt),
-            jnp.asarray(conv["bias"], dt),
-            jnp.asarray(outp["kernel"], dt),
-            jnp.asarray(outp["bias"], dt),
-            steps_all,
-            cond_stack.astype(dt),
-        )
-
-        def body(carry, inputs):
-            xc, skip_sum = carry
-            d, wl, wc, wr, cb, wo, bo, step_b, cond_b = inputs
-            new_x, skip = fused_residual_block(
-                xc, step_b, cond_b, d, wl, wc, wr, cb, wo, bo,
-                interpret=interpret,
-            )
-            return (new_x, skip_sum + skip), None
-
-        skip0 = jnp.zeros_like(x)
-        (x, skip_sum), _ = jax.lax.scan(body, (x, skip0), xs)
-        return x, skip_sum
 
     def project_conditioner(
         self, conditioner: jax.Array, cond_masks: Optional[jax.Array] = None
@@ -235,33 +189,35 @@ class WaveNet(nn.Module):
         else:
             dilations = np.ones(self.residual_layers, dtype=np.int32)
 
-        if self.use_pallas and cond_is_projected and not self.is_initializing():
-            x, skip_sum = self._pallas_blocks(x, step, conditioner, dilations)
-        else:
-            block = ResidualBlock
-            if self.remat:
-                block = nn.remat(
-                    block,
-                    static_argnums=(),
-                    prevent_cse=False,
-                )
-
-            ScannedBlocks = nn.scan(
+        # The residual stack is ONE scanned block body; a fused Pallas
+        # block kernel was measured against this path on the real chip and
+        # lost (0.974x at bench shapes, B=4 T=1024 C=512 L=20 bf16) — XLA's
+        # own fusion of the 4-GEMM block is already at ~70% of MXU peak.
+        # See docs/pages/architecture.md "Explored and rejected".
+        block = ResidualBlock
+        if self.remat:
+            block = nn.remat(
                 block,
-                variable_axes={"params": 0},
-                split_rngs={"params": True},
-                in_axes=(0, 0 if cond_is_projected else nn.broadcast, nn.broadcast),
-                length=self.residual_layers,
+                static_argnums=(),
+                prevent_cse=False,
             )
 
-            skip0 = jnp.zeros_like(x)
-            (x, skip_sum), _ = ScannedBlocks(
-                residual_channels=r,
-                use_linear_bias=self.use_linear_bias,
-                cond_is_projected=cond_is_projected,
-                dtype=compute_dtype,
-                name="residual_layers",
-            )((x, skip0), jnp.asarray(dilations), conditioner, step)
+        ScannedBlocks = nn.scan(
+            block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0, 0 if cond_is_projected else nn.broadcast, nn.broadcast),
+            length=self.residual_layers,
+        )
+
+        skip0 = jnp.zeros_like(x)
+        (x, skip_sum), _ = ScannedBlocks(
+            residual_channels=r,
+            use_linear_bias=self.use_linear_bias,
+            cond_is_projected=cond_is_projected,
+            dtype=compute_dtype,
+            name="residual_layers",
+        )((x, skip0), jnp.asarray(dilations), conditioner, step)
 
         x = skip_sum * (1.0 / math.sqrt(self.residual_layers))
         x = Conv1x1(r, dtype=compute_dtype, name="skip_projection")(x)

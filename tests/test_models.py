@@ -362,23 +362,7 @@ class TestHoistedConditioner:
         )
 
 
-class TestPallasBlock:
-    def test_fused_block_matches_scan_path(self):
-        """Pallas fused-block path (interpret mode on CPU) == nn.scan path."""
-        cfg = small_wavenet_config()
-        cfg.pop("type")
-        model = WaveNet(**cfg)
-        model_pl = WaveNet(**cfg, use_pallas=True)
-
-        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))
-        cond = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8))
-        t = jnp.array([5, 50])
-
-        params = model.init(jax.random.PRNGKey(2), x, t, cond)
-        cond_stack = model.apply(params, cond, method=model.project_conditioner)
-
-        ref = model.apply(params, x, t, cond_stack, cond_is_projected=True)
-        fast = model_pl.apply(params, x, t, cond_stack, cond_is_projected=True)
-        np.testing.assert_allclose(
-            np.asarray(ref), np.asarray(fast), atol=2e-5, rtol=1e-4
-        )
+# The fused Pallas WaveNet block was measured against the nn.scan path on
+# the real chip and LOST (0.974x at bench shapes); it was removed. The
+# measurement and design notes live in docs/pages/architecture.md
+# ("Explored and rejected: fused Pallas WaveNet block").

@@ -9,11 +9,15 @@ Usage: python tools/profile_e2e.py  (serialize with other TPU users)
 """
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
