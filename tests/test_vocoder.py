@@ -197,3 +197,76 @@ class TestGenerator:
         assert mel.shape == (1, 20, 128)
         wav = voc.spec2wav(mel, jnp.full((1, 20), 220.0))
         assert wav.shape == (1, 512 * 20)
+
+
+class TestBlockedTail:
+    """Space-to-depth resblock compute (NsfHifiGANGenerator.blocked_tail):
+    identical param tree and identical math to the plain conv path."""
+
+    def test_blocked_matches_plain(self):
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.uniform(-4, 0, (2, 16, 128)), jnp.float32)
+        f0 = jnp.asarray(rng.uniform(80, 600, (2, 16)), jnp.float32)
+        kw = dict(
+            num_mels=128,
+            sampling_rate=44100,
+            hop_size=512,
+            upsample_rates=(8, 8, 2, 2, 2),
+            upsample_kernel_sizes=(16, 16, 4, 4, 4),
+            upsample_initial_channel=128,  # tail levels C=64/32/16/8/4
+        )
+        g_plain = NsfHifiGANGenerator(**kw, blocked_tail=False)
+        g_block = NsfHifiGANGenerator(**kw, blocked_tail=True)
+
+        keys = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+        v = jax.jit(g_plain.init)(keys, mel, f0)
+        vb = jax.eval_shape(lambda: g_block.init(keys, mel, f0))
+
+        import jax.tree_util as jtu
+
+        assert jtu.tree_structure(v) == jtu.tree_structure(vb)
+        assert all(
+            a.shape == b.shape
+            for a, b in zip(jtu.tree_leaves(v), jtu.tree_leaves(vb))
+        )
+
+        noise = {"noise": jax.random.PRNGKey(2)}
+        y_plain = g_plain.apply(v, mel, f0, rngs=noise)
+        y_block = g_block.apply(v, mel, f0, rngs=noise)
+        np.testing.assert_allclose(
+            np.asarray(y_plain), np.asarray(y_block), atol=2e-5, rtol=1e-4
+        )
+
+    def test_blocked_gradients_flow(self):
+        """GAN training runs through the blocked path; grads must match the
+        plain path (same params, same loss surface)."""
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(rng.uniform(-4, 0, (1, 8, 128)), jnp.float32)
+        f0 = jnp.asarray(rng.uniform(80, 600, (1, 8)), jnp.float32)
+        kw = dict(
+            num_mels=128,
+            sampling_rate=44100,
+            hop_size=512,
+            upsample_rates=(8, 8, 2, 2, 2),
+            upsample_kernel_sizes=(16, 16, 4, 4, 4),
+            upsample_initial_channel=64,
+        )
+        g_plain = NsfHifiGANGenerator(**kw, blocked_tail=False)
+        g_block = NsfHifiGANGenerator(**kw, blocked_tail=True)
+        keys = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+        v = jax.jit(g_plain.init)(keys, mel, f0)
+
+        def loss(params, g):
+            wav = g.apply(
+                {"params": params}, mel, f0, rngs={"noise": jax.random.PRNGKey(2)}
+            )
+            return jnp.mean(wav**2)
+
+        gp = jax.grad(loss)(v["params"], g_plain)
+        gb = jax.grad(loss)(v["params"], g_block)
+        flat_p = jax.tree_util.tree_leaves(gp)
+        flat_b = jax.tree_util.tree_leaves(gb)
+        for a, b in zip(flat_p, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
+            )
