@@ -61,37 +61,82 @@ class Conv1d(nn.Module):
         )(x)
 
 
-def _blocked_tap_indices(k: int, dilation: int, s: int):
-    """Static index map for the space-to-depth conv-weight transform.
+# --- space-to-depth (blocked) conv machinery -------------------------------
+#
+# Stride-1/strided/transposed 1-D convs at tiny channel counts starve the
+# MXU (the 128-lane systolic array sees C=16/32/64 of 128 in both the
+# contraction and output dims — measured 4.6 TFLOPS at C=16 vs 139 at
+# C=256, and the [T, C<128] layout pads up to 8x in VMEM tiles). Any such
+# conv is a banded linear map in the sample domain; reshaping activations
+# to ``[B, T/s, s*C]`` (s*C = 128) and scattering the small kernel into a
+# block-Toeplitz ``[Kb, s_in*Cin, s_out*Cout]`` kernel turns every tap
+# into a full-lane GEMM. The FLOP blowup (Kb*s/k) loses to the
+# utilization win: measured 1.45x/2.41x/3.25x on the C=64/32/16 resblock
+# fans at bench shapes. The transform acts on kernel *parameters* inside
+# jit (traced once), so param trees / checkpoints / converters are
+# untouched and gradients flow for GAN training.
+#
+# Each op type reduces to a static list of (out_slot, in_slot_offset, tap)
+# triples; one scatter builds the blocked kernel from them.
 
-    A stride-1 dilated conv at tiny channel count starves the MXU (the
-    128-lane systolic array sees C=16/32/64 of 128 in both contraction and
-    output dims — measured 4.6 TFLOPS at C=16 vs 139 at C=256). Reshaping
-    ``[B, T, C] -> [B, T/s, s*C]`` (s = 128/C) and scattering the ``[k, C,
-    C]`` kernel into a block-Toeplitz ``[Kb, s*C, s*C]`` kernel turns every
-    tap into a full-lane GEMM. Kb = ceil tap span over blocks; the FLOP
-    blowup (Kb*s/k, ~3-8x) is far below the utilization win: measured
-    3.25x (C=16), 2.41x (C=32), 1.45x (C=64) end-to-end on the resblock
-    fan at bench shapes.
 
-    For output slot jp and tap a the input sample offset is
-    ``o = jp - pad + d*a``; block ``q = o // s``, slot ``j = o % s``.
-    Returns (q - qmin, j, jp, a) arrays plus (Kb, pad_left, pad_right).
-    """
+def _conv_triples(k: int, dilation: int, s: int):
+    """Stride-1 dilated conv: out[n] = sum_a in[n - pad + d*a] W[a]."""
     pad = _get_padding(k, dilation)
-    qmin = (0 - pad) // s
-    qmax = (s - 1 - pad + dilation * (k - 1)) // s
+    return [
+        (n, n - pad + dilation * a, a) for n in range(s) for a in range(k)
+    ]
+
+
+def _convtranspose_triples(k: int, u: int, pad: int, s_in: int):
+    """Transposed conv, stride u (torch semantics: out[n] += in[m] W[w]
+    where w = n - m*u + pad). Output block = u * s_in slots."""
+    triples = []
+    for n in range(u * s_in):
+        for w in range(k):
+            m_num = n - w + pad
+            if m_num % u == 0:
+                triples.append((n, m_num // u, w))
+    return triples
+
+
+def _strided_triples(k: int, stride: int, pad: int, s_out: int):
+    """Strided conv: out[n] = sum_w in[n*stride - pad + w] W[w].
+    Input slots are samples (in-block = stride * s_out samples)."""
+    return [
+        (n, n * stride - pad + w, w) for n in range(s_out) for w in range(k)
+    ]
+
+
+def _scatter_blocked_kernel(taps, triples, s_in: int, s_out: int):
+    """taps [k, Cin, Cout] -> block-Toeplitz [Kb, s_in*Cin, s_out*Cout]
+    plus the blocked conv's (pad_left, pad_right)."""
+    cin, cout = taps.shape[1], taps.shape[2]
+    qs = [m // s_in for (_, m, _) in triples]
+    qmin, qmax = min(qs), max(qs)
     kb = qmax - qmin + 1
-    q_arr, j_arr, jp_arr, a_arr = [], [], [], []
-    for jp in range(s):
-        for a in range(k):
-            o = jp - pad + dilation * a
-            q_arr.append(o // s - qmin)
-            j_arr.append(o % s)
-            jp_arr.append(jp)
-            a_arr.append(a)
-    idx = tuple(np.asarray(v, np.int32) for v in (q_arr, j_arr, jp_arr, a_arr))
-    return idx, (kb, -qmin, qmax)
+    q_i = np.asarray([m // s_in - qmin for (_, m, _) in triples], np.int32)
+    j_i = np.asarray([m % s_in for (_, m, _) in triples], np.int32)
+    n_i = np.asarray([n for (n, _, _) in triples], np.int32)
+    w_i = np.asarray([w for (_, _, w) in triples], np.int32)
+    wb = jnp.zeros((kb, s_in, cin, s_out, cout), taps.dtype)
+    wb = wb.at[q_i, j_i, :, n_i, :].add(taps[w_i])
+    return wb.reshape(kb, s_in * cin, s_out * cout), (-qmin, qmax)
+
+
+def _blocked_apply(xb, taps, bias, triples, s_in, s_out, dtype):
+    """Run one blocked conv: xb [B, NB, s_in*Cin] -> [B, NB', s_out*Cout]."""
+    wb, (pl, pr) = _scatter_blocked_kernel(taps, triples, s_in, s_out)
+    yb = jax.lax.conv_general_dilated(
+        xb.astype(dtype),
+        wb.astype(dtype),
+        window_strides=(1,),
+        padding=[(pl, pr)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if bias is not None:
+        yb = yb + jnp.tile(bias, s_out).astype(dtype)
+    return yb
 
 
 class _ConvParams(nn.Module):
@@ -133,24 +178,10 @@ class BlockedConv1d(nn.Module):
         kernel, bias = _ConvParams(
             kernel_shape=(k, cin, cout), features=cout, name="Conv_0"
         )()
-
-        (q_i, j_i, jp_i, a_i), (kb, pl, pr) = _blocked_tap_indices(
-            k, self.dilation, s
+        return _blocked_apply(
+            xb, kernel, bias, _conv_triples(k, self.dilation, s), s, s,
+            self.dtype,
         )
-        # scatter the [k, Cin, Cout] kernel into block-Toeplitz
-        # [Kb, s*Cin, s*Cout]; traced once per jit, negligible at runtime
-        wb = jnp.zeros((kb, s, cin, s, cout), kernel.dtype)
-        wb = wb.at[q_i, j_i, :, jp_i, :].add(kernel[a_i])
-        wb = wb.reshape(kb, s * cin, s * cout).astype(self.dtype)
-
-        yb = jax.lax.conv_general_dilated(
-            xb.astype(self.dtype),
-            wb,
-            window_strides=(1,),
-            padding=[(pl, pr)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
-        return yb + jnp.tile(bias, s).astype(self.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -356,60 +387,111 @@ class NsfHifiGANGenerator(nn.Module):
 
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
         num_kernels = len(self.resblock_kernel_sizes)
+        B = x.shape[0]
+        t5 = har_source.shape[1]
+
+        s = 1  # current space-to-depth block factor of x
+        t_cur = n_frames  # logical sample length of x (x.shape[1] * s)
+        ch = self.upsample_initial_channel
 
         for i, (u, k) in enumerate(
             zip(self.upsample_rates, self.upsample_kernel_sizes)
         ):
-            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            ch_in, ch = ch, self.upsample_initial_channel // (2 ** (i + 1))
+
+            # can the post-upsample level live in blocked layout, chained
+            # from the current one? (s*u slots of ch channels = 128 lanes)
+            chain = (
+                self.blocked_tail
+                and self.resblock == "1"
+                and ch < 128
+                and s * u * ch == 128
+            )
+            if s > 1 and not chain:  # config broke the chain: unblock
+                x = x.reshape(B, t_cur, ch_in)
+                s = 1
 
             x = nn.leaky_relu(x, LRELU_SLOPE)
             # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2):
-            # out_len = T*u. flax ConvTranspose with matching edge padding;
-            # transpose_kernel=True keeps torch weight-layout compatibility.
+            # out_len = T*u. Plain path: flax ConvTranspose with matching
+            # edge padding (transpose_kernel=True keeps torch weight
+            # layout). Chained path: polyphase blocked form of the SAME
+            # parameters — output lands directly in the next level's
+            # [B, T/(s*u), s*u*ch] layout, no thin [T, ch] intermediate.
             pad = (k - u) // 2
-            x = nn.ConvTranspose(
-                ch,
-                kernel_size=(k,),
-                strides=(u,),
-                padding=[(k - 1 - pad, k - 1 - pad)],
-                transpose_kernel=True,
-                dtype=self.dtype,
-                name=f"ups_{i}",
-            )(x)
+            if chain:
+                kernel, bias = _ConvParams(
+                    kernel_shape=(k, ch, ch_in), features=ch, name=f"ups_{i}"
+                )()
+                taps = jnp.transpose(kernel, (0, 2, 1))  # [k, Cin, Cout]
+                x = _blocked_apply(
+                    x, taps, bias,
+                    _convtranspose_triples(k, u, pad, s), s, s * u,
+                    self.dtype,
+                )
+            else:
+                x = nn.ConvTranspose(
+                    ch,
+                    kernel_size=(k,),
+                    strides=(u,),
+                    padding=[(k - 1 - pad, k - 1 - pad)],
+                    transpose_kernel=True,
+                    dtype=self.dtype,
+                    name=f"ups_{i}",
+                )(x)
+            t_cur *= u
+            s_lvl = s * u if chain else 1
 
             # harmonic source injection at this scale
             if i + 1 < len(self.upsample_rates):
                 stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
-                x_source = nn.Conv(
-                    ch,
-                    kernel_size=(stride_f0 * 2,),
-                    strides=(stride_f0,),
-                    padding=[(stride_f0 // 2, stride_f0 // 2)],
-                    dtype=self.dtype,
+                k_nc, st_nc, p_nc = stride_f0 * 2, stride_f0, stride_f0 // 2
+            else:
+                k_nc, st_nc, p_nc = 1, 1, 0
+            ib = st_nc * max(s_lvl, 1)  # source samples per output block
+            if self.blocked_tail and t5 % ib == 0 and (s_lvl > 1 or ib > 1):
+                # blocked-input strided conv: the [T5, 1] source is
+                # MXU/layout-hostile; reshape to [T5/ib, ib] and scatter
+                # the [k, 1, ch] kernel into [Kb, ib, s_lvl*ch]
+                kernel, bias = _ConvParams(
+                    kernel_shape=(k_nc, 1, ch), features=ch,
                     name=f"noise_convs_{i}",
-                )(har_source.astype(self.dtype))
+                )()
+                src_b = har_source.reshape(B, t5 // ib, ib)
+                x_source = _blocked_apply(
+                    src_b, kernel, bias,
+                    _strided_triples(k_nc, st_nc, p_nc, max(s_lvl, 1)),
+                    ib, max(s_lvl, 1), self.dtype,
+                )
+                if s_lvl == 1:  # plain-layout level: [T_i/1... ] -> [T_i, ch]
+                    x_source = x_source.reshape(B, t_cur, ch)
             else:
                 x_source = nn.Conv(
                     ch,
-                    kernel_size=(1,),
+                    kernel_size=(k_nc,),
+                    strides=(st_nc,),
+                    padding=[(p_nc, p_nc)],
                     dtype=self.dtype,
                     name=f"noise_convs_{i}",
                 )(har_source.astype(self.dtype))
+                if s_lvl > 1:
+                    x_source = x_source.reshape(B, t_cur // s_lvl, s_lvl * ch)
 
             x = x + x_source
+            s = s_lvl
 
-            # blocked (space-to-depth) fan for MXU-starved channel counts;
-            # ResBlock1-only (ResBlock2 configs keep the plain path)
-            s = 1
+            # non-chained configs can still run the fan blocked per level
+            s_fan = s
+            t_full = t_cur
             if (
-                self.blocked_tail
+                s == 1
+                and self.blocked_tail
                 and self.resblock == "1"
                 and ch < 128
                 and x.shape[1] % (128 // ch) == 0
             ):
-                s = 128 // ch
-                t_full = x.shape[1]
-                x = x.reshape(x.shape[0], t_full // s, s * ch)
+                s_fan = 128 // ch
+                x = x.reshape(B, t_full // s_fan, s_fan * ch)
 
             xs = None
             for j, (rk, rd) in enumerate(
@@ -421,15 +503,26 @@ class NsfHifiGANGenerator(nn.Module):
                     tuple(rd),
                     dtype=self.dtype,
                     name=f"resblocks_{i * num_kernels + j}",
-                    **({"blocked_s": s} if s > 1 else {}),
+                    **({"blocked_s": s_fan} if s_fan > 1 else {}),
                 )(x)
                 xs = block if xs is None else xs + block
             x = xs / num_kernels
 
-            if s > 1:
-                x = x.reshape(x.shape[0], t_full, ch)
+            if s_fan > 1 and s == 1:
+                x = x.reshape(B, t_full, ch)
 
         x = nn.leaky_relu(x, 0.01)  # torch default slope (models.py:434)
+        if s > 1:
+            # conv_post in blocked layout: [B, T/s, s*ch] -> [B, T/s, s]
+            kernel, bias = _ConvParams(
+                kernel_shape=(7, ch, 1), features=1, name="conv_post"
+            )()
+            x = _blocked_apply(
+                x, kernel, bias, _conv_triples(7, 1, s), s, s, self.dtype
+            )
+            x = jnp.tanh(x).reshape(B, t_cur)
+            return x.astype(jnp.float32)
+
         x = nn.Conv(
             1, kernel_size=(7,), padding=[(3, 3)], dtype=self.dtype,
             name="conv_post",
