@@ -61,82 +61,14 @@ class Conv1d(nn.Module):
         )(x)
 
 
-# --- space-to-depth (blocked) conv machinery -------------------------------
-#
-# Stride-1/strided/transposed 1-D convs at tiny channel counts starve the
-# MXU (the 128-lane systolic array sees C=16/32/64 of 128 in both the
-# contraction and output dims — measured 4.6 TFLOPS at C=16 vs 139 at
-# C=256, and the [T, C<128] layout pads up to 8x in VMEM tiles). Any such
-# conv is a banded linear map in the sample domain; reshaping activations
-# to ``[B, T/s, s*C]`` (s*C = 128) and scattering the small kernel into a
-# block-Toeplitz ``[Kb, s_in*Cin, s_out*Cout]`` kernel turns every tap
-# into a full-lane GEMM. The FLOP blowup (Kb*s/k) loses to the
-# utilization win: measured 1.45x/2.41x/3.25x on the C=64/32/16 resblock
-# fans at bench shapes. The transform acts on kernel *parameters* inside
-# jit (traced once), so param trees / checkpoints / converters are
-# untouched and gradients flow for GAN training.
-#
-# Each op type reduces to a static list of (out_slot, in_slot_offset, tap)
-# triples; one scatter builds the blocked kernel from them.
-
-
-def _conv_triples(k: int, dilation: int, s: int):
-    """Stride-1 dilated conv: out[n] = sum_a in[n - pad + d*a] W[a]."""
-    pad = _get_padding(k, dilation)
-    return [
-        (n, n - pad + dilation * a, a) for n in range(s) for a in range(k)
-    ]
-
-
-def _convtranspose_triples(k: int, u: int, pad: int, s_in: int):
-    """Transposed conv, stride u (torch semantics: out[n] += in[m] W[w]
-    where w = n - m*u + pad). Output block = u * s_in slots."""
-    triples = []
-    for n in range(u * s_in):
-        for w in range(k):
-            m_num = n - w + pad
-            if m_num % u == 0:
-                triples.append((n, m_num // u, w))
-    return triples
-
-
-def _strided_triples(k: int, stride: int, pad: int, s_out: int):
-    """Strided conv: out[n] = sum_w in[n*stride - pad + w] W[w].
-    Input slots are samples (in-block = stride * s_out samples)."""
-    return [
-        (n, n * stride - pad + w, w) for n in range(s_out) for w in range(k)
-    ]
-
-
-def _scatter_blocked_kernel(taps, triples, s_in: int, s_out: int):
-    """taps [k, Cin, Cout] -> block-Toeplitz [Kb, s_in*Cin, s_out*Cout]
-    plus the blocked conv's (pad_left, pad_right)."""
-    cin, cout = taps.shape[1], taps.shape[2]
-    qs = [m // s_in for (_, m, _) in triples]
-    qmin, qmax = min(qs), max(qs)
-    kb = qmax - qmin + 1
-    q_i = np.asarray([m // s_in - qmin for (_, m, _) in triples], np.int32)
-    j_i = np.asarray([m % s_in for (_, m, _) in triples], np.int32)
-    n_i = np.asarray([n for (n, _, _) in triples], np.int32)
-    w_i = np.asarray([w for (_, _, w) in triples], np.int32)
-    wb = jnp.zeros((kb, s_in, cin, s_out, cout), taps.dtype)
-    wb = wb.at[q_i, j_i, :, n_i, :].add(taps[w_i])
-    return wb.reshape(kb, s_in * cin, s_out * cout), (-qmin, qmax)
-
-
-def _blocked_apply(xb, taps, bias, triples, s_in, s_out, dtype):
-    """Run one blocked conv: xb [B, NB, s_in*Cin] -> [B, NB', s_out*Cout]."""
-    wb, (pl, pr) = _scatter_blocked_kernel(taps, triples, s_in, s_out)
-    yb = jax.lax.conv_general_dilated(
-        xb.astype(dtype),
-        wb.astype(dtype),
-        window_strides=(1,),
-        padding=[(pl, pr)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
-    if bias is not None:
-        yb = yb + jnp.tile(bias, s_out).astype(dtype)
-    return yb
+# space-to-depth (blocked) conv machinery shared with RefineGAN — see
+# ops/blocked_conv.py for the full rationale + measured wins
+from ...ops.blocked_conv import (
+    blocked_apply as _blocked_apply,
+    conv_triples as _conv_triples,
+    convtranspose_triples as _convtranspose_triples,
+    strided_triples as _strided_triples,
+)
 
 
 class _ConvParams(nn.Module):

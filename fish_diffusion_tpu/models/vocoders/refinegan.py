@@ -35,6 +35,35 @@ from .nsf_hifigan import _get_padding, _mod1_phase_scan
 Dtype = Any
 
 
+# space-to-depth (blocked) conv machinery shared with NSF-HiFiGAN — see
+# ops/blocked_conv.py for the rationale + measured wins
+from ...ops.blocked_conv import (
+    ConvParams,
+    WNScale,
+    blocked_apply,
+    conv_triples,
+    strided_triples,
+    weight_norm_kernel,
+)
+
+
+def _blocked_wn_conv(
+    xb, name, cin, features, kernel_size, dilation, triples, s_in, s_out, dtype
+):
+    """Blocked weight-norm conv declaring the same params as
+    ``nn.WeightNorm(nn.Conv(name=f"{name}_conv"), name=name)`` (must be
+    called inside the parent module's compact scope)."""
+    scale = WNScale(conv_name=f"{name}_conv", features=features, name=name)()
+    kernel, bias = ConvParams(
+        kernel_shape=(kernel_size, cin, features),
+        features=features,
+        kernel_init=nn.initializers.normal(0.01),
+        name=f"{name}_conv",
+    )()
+    w = weight_norm_kernel(kernel, scale)
+    return blocked_apply(xb, w, bias, triples, s_in, s_out, dtype)
+
+
 def _wn_conv(features, kernel_size, name, dtype=jnp.float32, stride=1, dilation=1,
              kernel_init=None):
     conv = nn.Conv(
@@ -66,25 +95,51 @@ class ResBlock(nn.Module):
     dilation: Tuple[int, ...] = (1, 3, 5)
     leaky_relu_slope: float = 0.2
     dtype: Dtype = jnp.float32
+    blocked_s: int = 1  # >1: space-to-depth compute (ops/blocked_conv.py)
+    blocked_io: bool = True  # reshape plain->blocked at entry/exit
 
     @nn.compact
     def __call__(self, x):
+        s = self.blocked_s
+        if s > 1 and self.blocked_io:
+            b, t, c = x.shape
+            x = x.reshape(b, t // s, s * c)
+
         for idx, d in enumerate(self.dilation):
+            cin = self.in_channels if idx == 0 else self.out_channels
             xt = nn.leaky_relu(x, self.leaky_relu_slope)
-            xt = _wn_conv(
-                self.out_channels, self.kernel_size, f"convs1_{idx}",
-                self.dtype, dilation=d,
-            )(xt)
+            if s > 1:
+                xt = _blocked_wn_conv(
+                    xt, f"convs1_{idx}", cin, self.out_channels,
+                    self.kernel_size, d,
+                    conv_triples(self.kernel_size, d, s), s, s, self.dtype,
+                )
+            else:
+                xt = _wn_conv(
+                    self.out_channels, self.kernel_size, f"convs1_{idx}",
+                    self.dtype, dilation=d,
+                )(xt)
             xt = nn.leaky_relu(xt, self.leaky_relu_slope)
-            xt = _wn_conv(
-                self.out_channels, self.kernel_size, f"convs2_{idx}",
-                self.dtype, dilation=d,
-            )(xt)
+            if s > 1:
+                xt = _blocked_wn_conv(
+                    xt, f"convs2_{idx}", self.out_channels, self.out_channels,
+                    self.kernel_size, d,
+                    conv_triples(self.kernel_size, d, s), s, s, self.dtype,
+                )
+            else:
+                xt = _wn_conv(
+                    self.out_channels, self.kernel_size, f"convs2_{idx}",
+                    self.dtype, dilation=d,
+                )(xt)
 
             if idx != 0 or self.in_channels == self.out_channels:
                 x = xt + x
             else:
                 x = xt
+
+        if s > 1 and self.blocked_io:
+            b, nb, _ = x.shape
+            x = x.reshape(b, nb * s, self.out_channels)
         return x
 
 
@@ -93,10 +148,16 @@ class AdaIN(nn.Module):
 
     channels: int
     leaky_relu_slope: float = 0.2
+    tile_s: int = 1  # blocked layout: weight tiled over the s slots
 
     @nn.compact
     def __call__(self, x):
         weight = self.param("weight", nn.initializers.ones, (self.channels,))
+        if self.tile_s > 1:
+            weight = jnp.tile(weight, self.tile_s)
+        # NOTE: in blocked layout the noise draw is the row-major reshape of
+        # the plain draw (same flat element order), so blocked == plain
+        # bit-for-bit given the same rng key
         noise = jax.random.normal(self.make_rng("noise"), x.shape, x.dtype)
         return nn.leaky_relu(
             x + noise * weight[None, None, :].astype(x.dtype),
@@ -113,20 +174,36 @@ class ParallelResBlock(nn.Module):
     dilation: Tuple[int, ...] = (1, 3, 5)
     leaky_relu_slope: float = 0.2
     dtype: Dtype = jnp.float32
+    blocked_s: int = 1  # >1: space-to-depth compute (ops/blocked_conv.py)
+    blocked_out: bool = False  # leave output in blocked layout
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.out_channels,
-            kernel_size=(7,),
-            padding=[(3, 3)],
-            dtype=self.dtype,
-            name="input_conv",
-        )(x)
+        s = self.blocked_s
+        if s > 1:
+            b, t, cin = x.shape
+            xb = x.reshape(b, t // s, s * cin)
+            kernel, bias = ConvParams(
+                kernel_shape=(7, cin, self.out_channels),
+                features=self.out_channels,
+                name="input_conv",
+            )()
+            x = blocked_apply(
+                xb, kernel, bias, conv_triples(7, 1, s), s, s, self.dtype
+            )
+        else:
+            x = nn.Conv(
+                self.out_channels,
+                kernel_size=(7,),
+                padding=[(3, 3)],
+                dtype=self.dtype,
+                name="input_conv",
+            )(x)
 
         results = []
         for k in self.kernel_sizes:
-            y = AdaIN(self.out_channels, self.leaky_relu_slope, name=f"adain1_k{k}")(x)
+            y = AdaIN(self.out_channels, self.leaky_relu_slope,
+                      tile_s=s, name=f"adain1_k{k}")(x)
             y = ResBlock(
                 self.out_channels,
                 self.out_channels,
@@ -134,12 +211,19 @@ class ParallelResBlock(nn.Module):
                 self.dilation,
                 self.leaky_relu_slope,
                 self.dtype,
+                blocked_s=s,
+                blocked_io=False,
                 name=f"res_k{k}",
             )(y)
-            y = AdaIN(self.out_channels, self.leaky_relu_slope, name=f"adain2_k{k}")(y)
+            y = AdaIN(self.out_channels, self.leaky_relu_slope,
+                      tile_s=s, name=f"adain2_k{k}")(y)
             results.append(y)
 
-        return sum(results) / len(results)
+        out = sum(results) / len(results)
+        if s > 1 and not self.blocked_out:
+            b, nb, _ = out.shape
+            out = out.reshape(b, nb * s, self.out_channels)
+        return out
 
 
 class CombToothGen(nn.Module):
@@ -216,6 +300,9 @@ class RefineGANGenerator(nn.Module):
     template_generator: str = "comb"
     template_noise_std: float = 0.003  # reference CombToothGen/SineGen default
     dtype: Dtype = jnp.float32
+    # space-to-depth compute for the MXU-starved small-channel stages
+    # (ops/blocked_conv.py): identical math + identical param tree
+    blocked_tail: bool = True
 
     @nn.compact
     def __call__(self, mel: jax.Array, f0: jax.Array) -> jax.Array:
@@ -248,7 +335,26 @@ class RefineGANGenerator(nn.Module):
             )(f0_s)
         template = template.astype(self.dtype)
 
-        x = _wn_conv(self.start_channels, 7, "template_conv", self.dtype)(template)
+        def _bs(ch, t):
+            """Block factor for a stage at channel count ch, length t."""
+            if not self.blocked_tail or ch >= 128:
+                return 1
+            s = 128 // ch
+            return s if t % s == 0 else 1
+
+        s_tc = _bs(self.start_channels, t_samples)
+        if s_tc > 1:
+            # template_conv from the [T, 1] source in blocked-input form
+            # (a 1-channel input is as MXU/layout-hostile as 16 channels)
+            x = _blocked_wn_conv(
+                template.reshape(template.shape[0], t_samples // s_tc, s_tc),
+                "template_conv", 1, self.start_channels, 7, 1,
+                conv_triples(7, 1, s_tc), s_tc, s_tc, self.dtype,
+            ).reshape(template.shape[0], t_samples, self.start_channels)
+        else:
+            x = _wn_conv(self.start_channels, 7, "template_conv", self.dtype)(
+                template
+            )
 
         channels = self.start_channels
         downs = []
@@ -264,6 +370,7 @@ class RefineGANGenerator(nn.Module):
                 (1, 3, 5),
                 self.leaky_relu_slope,
                 self.dtype,
+                blocked_s=_bs(channels, x.shape[1]),
                 name=f"down_res_{i}",
             )(x)
 
@@ -279,20 +386,42 @@ class RefineGANGenerator(nn.Module):
             x = linear_resize(x, x.shape[1] * rate)
 
             if idx == 0:
-                source = nn.Conv(
-                    channels,
-                    kernel_size=(stride_f0 * 2,),
-                    strides=(stride_f0,),
-                    padding=[(stride_f0 // 2, stride_f0 // 2)],
-                    dtype=self.dtype,
-                    name="source_conv",
-                )(template)
+                t_src = template.shape[1]
+                if self.blocked_tail and t_src % stride_f0 == 0:
+                    # strided source conv with the [T, 1] template read as
+                    # [T/stride, stride] blocks
+                    kernel, bias = ConvParams(
+                        kernel_shape=(stride_f0 * 2, 1, channels),
+                        features=channels,
+                        name="source_conv",
+                    )()
+                    source = blocked_apply(
+                        template.reshape(
+                            template.shape[0], t_src // stride_f0, stride_f0
+                        ),
+                        kernel, bias,
+                        strided_triples(
+                            stride_f0 * 2, stride_f0, stride_f0 // 2, 1
+                        ),
+                        stride_f0, 1, self.dtype,
+                    )
+                else:
+                    source = nn.Conv(
+                        channels,
+                        kernel_size=(stride_f0 * 2,),
+                        strides=(stride_f0,),
+                        padding=[(stride_f0 // 2, stride_f0 // 2)],
+                        dtype=self.dtype,
+                        name="source_conv",
+                    )(template)
                 x = x + source[:, : x.shape[1]]
 
             down = downs[len(downs) - 1 - idx]
             x = jnp.concatenate([x, down[:, : x.shape[1]]], axis=-1)
 
             new_channels = channels // 2
+            last = idx == len(self.upsample_rates) - 1
+            s_up = _bs(new_channels, x.shape[1])
             x = ParallelResBlock(
                 channels + channels // 4,
                 new_channels,
@@ -300,11 +429,23 @@ class RefineGANGenerator(nn.Module):
                 (1, 3, 5),
                 self.leaky_relu_slope,
                 self.dtype,
+                blocked_s=s_up,
+                blocked_out=last and s_up > 1,
                 name=f"up_res_{idx}",
             )(x)
             channels = new_channels
 
         x = nn.leaky_relu(x, self.leaky_relu_slope)
+        if s_up > 1:
+            # x is still blocked [B, T/s, s*C]: run output_conv blocked and
+            # unblock only the final 1-channel waveform
+            x = _blocked_wn_conv(
+                x, "output_conv", channels, 1, 7, 1,
+                conv_triples(7, 1, s_up), s_up, s_up, self.dtype,
+            )
+            x = jnp.tanh(x).reshape(x.shape[0], t_samples)
+            return x.astype(jnp.float32)
+
         x = _wn_conv(1, 7, "output_conv", self.dtype)(x)
         x = jnp.tanh(x)
 

@@ -1,0 +1,142 @@
+"""Space-to-depth (blocked) 1-D convolutions for MXU lane occupancy.
+
+A stride-1/strided/transposed 1-D conv at a tiny channel count starves the
+TPU MXU: the 128-lane systolic array sees C=16/32/64 of 128 in both the
+contraction and output dims (measured 4.6 TFLOPS at C=16 vs 139 at C=256 on
+the NSF-HiFiGAN resblock fans), and the ``[T, C<128]`` activation layout
+pads up to 8x in VMEM tiles. Any such conv is a banded linear map over
+samples; reshaping activations to ``[B, T/s, s*C]`` (pick ``s*C >= 128``)
+and scattering the small kernel into a block-Toeplitz
+``[Kb, s_in*Cin, s_out*Cout]`` kernel turns every tap into a full-lane GEMM.
+The FLOP blowup (``Kb*s/k``, ~2-8x) loses to the utilization win: measured
+1.45x/2.41x/3.25x on C=64/32/16 fans, and 2.6x on the full NSF-HiFiGAN
+vocoder once the tail levels chain the blocked layout end-to-end (see
+docs/pages/architecture.md).
+
+Each op type reduces to a static list of ``(out_slot, in_slot_offset, tap)``
+triples; one scatter builds the blocked kernel from them. The scatter acts
+on kernel *parameters* inside jit (traced once per compile), so param
+trees, checkpoints, and converters are untouched, and gradients flow for
+GAN training.
+
+Used by ``models/vocoders/nsf_hifigan.py`` (resblock fans, polyphase
+upsamplers, source-injection convs, conv_post) and
+``models/vocoders/refinegan.py``. No reference analog — the torch/CUDA
+reference relies on cuDNN's small-channel conv paths
+(``fish_diffusion/modules/vocoders/nsf_hifigan/models.py:27-158``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def conv_triples(k: int, dilation: int, s: int, pad: int | None = None):
+    """Stride-1 dilated conv: out[n] = sum_a in[n - pad + d*a] W[a]."""
+    if pad is None:
+        pad = (k * dilation - dilation) // 2
+    return [
+        (n, n - pad + dilation * a, a) for n in range(s) for a in range(k)
+    ]
+
+
+def convtranspose_triples(k: int, u: int, pad: int, s_in: int):
+    """Transposed conv, stride u (torch semantics: out[n] += in[m] W[w]
+    where w = n - m*u + pad). Output block = u * s_in slots."""
+    triples = []
+    for n in range(u * s_in):
+        for w in range(k):
+            m_num = n - w + pad
+            if m_num % u == 0:
+                triples.append((n, m_num // u, w))
+    return triples
+
+
+def strided_triples(k: int, stride: int, pad: int, s_out: int):
+    """Strided conv: out[n] = sum_w in[n*stride - pad + w] W[w].
+    Input slots are samples (in-block = stride * s_out samples)."""
+    return [
+        (n, n * stride - pad + w, w) for n in range(s_out) for w in range(k)
+    ]
+
+
+def scatter_blocked_kernel(taps, triples, s_in: int, s_out: int):
+    """taps [k, Cin, Cout] -> block-Toeplitz [Kb, s_in*Cin, s_out*Cout]
+    plus the blocked conv's (pad_left, pad_right)."""
+    cin, cout = taps.shape[1], taps.shape[2]
+    qs = [m // s_in for (_, m, _) in triples]
+    qmin, qmax = min(qs), max(qs)
+    kb = qmax - qmin + 1
+    q_i = np.asarray([m // s_in - qmin for (_, m, _) in triples], np.int32)
+    j_i = np.asarray([m % s_in for (_, m, _) in triples], np.int32)
+    n_i = np.asarray([n for (n, _, _) in triples], np.int32)
+    w_i = np.asarray([w for (_, _, w) in triples], np.int32)
+    wb = jnp.zeros((kb, s_in, cin, s_out, cout), taps.dtype)
+    wb = wb.at[q_i, j_i, :, n_i, :].add(taps[w_i])
+    return wb.reshape(kb, s_in * cin, s_out * cout), (-qmin, qmax)
+
+
+def blocked_apply(xb, taps, bias, triples, s_in, s_out, dtype):
+    """Run one blocked conv: xb [B, NB, s_in*Cin] -> [B, NB', s_out*Cout]."""
+    wb, (pl, pr) = scatter_blocked_kernel(taps, triples, s_in, s_out)
+    yb = jax.lax.conv_general_dilated(
+        xb.astype(dtype),
+        wb.astype(dtype),
+        window_strides=(1,),
+        padding=[(pl, pr)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if bias is not None:
+        yb = yb + jnp.tile(bias, s_out).astype(dtype)
+    return yb
+
+
+class ConvParams(nn.Module):
+    """Parameter container matching ``nn.Conv``'s tree (kernel + bias).
+
+    Lets a blocked path declare EXACTLY the params a plain ``nn.Conv`` of
+    the same name would, so checkpoints/converters see one layout.
+    """
+
+    kernel_shape: Tuple[int, ...]
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, self.kernel_shape)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class WNScale(nn.Module):
+    """Scale param matching ``nn.WeightNorm``'s tree for a wrapped conv
+    (flax stores it as ``{wrapper_name: {"<conv_name>/kernel/scale": g}}``
+    with the conv itself a *sibling* module)."""
+
+    conv_name: str
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            f"{self.conv_name}/kernel/scale",
+            nn.initializers.ones_init(),
+            (self.features,),
+        )
+
+
+def weight_norm_kernel(kernel, scale, eps: float = 1e-12):
+    """Fold weight-norm: w = g * v / ||v||, norm per output feature
+    (flax ``nn.WeightNorm`` feature_axes=-1 semantics)."""
+    norm = jnp.sqrt(
+        jnp.sum(jnp.square(kernel), axis=tuple(range(kernel.ndim - 1)),
+                keepdims=True)
+        + eps
+    )
+    return kernel * (scale / norm)

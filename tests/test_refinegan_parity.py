@@ -91,3 +91,33 @@ def test_converted_refinegan_matches_torch():
     j_out = np.asarray(j_out)  # [B, T*hop]
 
     np.testing.assert_allclose(j_out, t_out[:, 0], atol=5e-5, rtol=1e-3)
+
+
+def test_blocked_tail_matches_plain():
+    """Space-to-depth compute (blocked_tail) == plain path: same param
+    tree, same outputs (AdaIN noise draws are row-major-reshape-identical
+    across layouts)."""
+    import jax.tree_util as jtu
+
+    from fish_diffusion_tpu.models.vocoders.refinegan import RefineGANGenerator
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.uniform(-4, 0, (2, 32, 128)), jnp.float32)
+    f0 = jnp.asarray(rng.uniform(80, 600, (2, 32)), jnp.float32)
+
+    gp = RefineGANGenerator(blocked_tail=False)
+    gb = RefineGANGenerator(blocked_tail=True)
+    keys = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    v = jax.jit(gp.init)(keys, mel, f0)
+    vb = jax.eval_shape(lambda: gb.init(keys, mel, f0))
+    assert jtu.tree_structure(v) == jtu.tree_structure(vb)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jtu.tree_leaves(v), jtu.tree_leaves(vb))
+    )
+
+    y0 = gp.apply(v, mel, f0, rngs={"noise": jax.random.PRNGKey(2)})
+    y1 = gb.apply(v, mel, f0, rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), atol=3e-5, rtol=1e-4
+    )
