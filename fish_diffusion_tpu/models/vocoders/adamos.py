@@ -156,10 +156,19 @@ class HiFiGANHead(nn.Module):
     pre_conv_kernel_size: int = 13
     post_conv_kernel_size: int = 13
     dtype: Dtype = jnp.float32
+    # space-to-depth compute for the C<128 tail (ops/blocked_conv.py):
+    # identical math + identical param tree, measured 1.45-3.25x per fan
+    blocked_tail: bool = True
 
     @nn.compact
     def __call__(self, x):
         assert int(np.prod(self.upsample_rates)) == self.hop_length
+        from ...ops.blocked_conv import (
+            ConvParams,
+            blocked_apply,
+            conv_triples,
+            convtranspose_triples,
+        )
 
         pad = _get_padding(self.pre_conv_kernel_size)
         x = nn.Conv(
@@ -170,22 +179,55 @@ class HiFiGANHead(nn.Module):
             name="conv_pre",
         )(x)
 
+        B = x.shape[0]
+        t_cur = x.shape[1]
         num_kernels = len(self.resblock_kernel_sizes)
+        s = 1
+        ch = self.upsample_initial_channel
         for i, (u, k) in enumerate(
             zip(self.upsample_rates, self.upsample_kernel_sizes)
         ):
-            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            ch_in, ch = ch, self.upsample_initial_channel // (2 ** (i + 1))
+            chain = self.blocked_tail and ch < 128 and s * u * ch == 128
+            if s > 1 and not chain:
+                x = x.reshape(B, t_cur, ch_in)
+                s = 1
+
             x = nn.silu(x)
             p = (k - u) // 2
-            x = nn.ConvTranspose(
-                ch,
-                kernel_size=(k,),
-                strides=(u,),
-                padding=[(k - 1 - p, k - 1 - p)],
-                transpose_kernel=True,
-                dtype=self.dtype,
-                name=f"ups_{i}",
-            )(x)
+            if chain:
+                # polyphase blocked transposed conv (same params as the
+                # plain nn.ConvTranspose(transpose_kernel=True) path)
+                kernel, bias = ConvParams(
+                    kernel_shape=(k, ch, ch_in), features=ch, name=f"ups_{i}"
+                )()
+                x = blocked_apply(
+                    x, jnp.transpose(kernel, (0, 2, 1)), bias,
+                    convtranspose_triples(k, u, p, s), s, s * u, self.dtype,
+                )
+                s = s * u
+            else:
+                x = nn.ConvTranspose(
+                    ch,
+                    kernel_size=(k,),
+                    strides=(u,),
+                    padding=[(k - 1 - p, k - 1 - p)],
+                    transpose_kernel=True,
+                    dtype=self.dtype,
+                    name=f"ups_{i}",
+                )(x)
+            t_cur *= u
+
+            # non-chained configs can still run the fan blocked per level
+            s_fan = s
+            if (
+                s == 1
+                and self.blocked_tail
+                and ch < 128
+                and t_cur % (128 // ch) == 0
+            ):
+                s_fan = 128 // ch
+                x = x.reshape(B, t_cur // s_fan, s_fan * ch)
 
             xs = None
             for j, (rk, rd) in enumerate(
@@ -194,12 +236,28 @@ class HiFiGANHead(nn.Module):
                 blk = ResBlock1(
                     ch, rk, tuple(rd), activation="silu", dtype=self.dtype,
                     name=f"resblocks_{i * num_kernels + j}",
+                    **({"blocked_s": s_fan} if s_fan > 1 else {}),
                 )(x)
                 xs = blk if xs is None else xs + blk
             x = xs / num_kernels
 
+            if s_fan > 1 and s == 1:
+                x = x.reshape(B, t_cur, ch)
+
         x = nn.silu(x)
         pad = _get_padding(self.post_conv_kernel_size)
+        if s > 1:
+            kernel, bias = ConvParams(
+                kernel_shape=(self.post_conv_kernel_size, ch, 1),
+                features=1,
+                name="conv_post",
+            )()
+            x = blocked_apply(
+                x, kernel, bias,
+                conv_triples(self.post_conv_kernel_size, 1, s), s, s,
+                self.dtype,
+            )
+            return jnp.tanh(x).reshape(B, t_cur)
         x = nn.Conv(
             1,
             kernel_size=(self.post_conv_kernel_size,),

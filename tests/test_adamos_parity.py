@@ -109,3 +109,28 @@ def test_converted_adamos_matches_torch():
     )
 
     np.testing.assert_allclose(j_out, t_out[:, 0], atol=5e-5, rtol=1e-3)
+
+
+def test_blocked_tail_matches_plain():
+    """Space-to-depth head compute (blocked_tail) == plain path."""
+    import jax
+    import jax.tree_util as jtu
+
+    from fish_diffusion_tpu.models.vocoders.adamos import HiFiGANHead
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 512)), jnp.float32)
+    gp = HiFiGANHead(blocked_tail=False)
+    gb = HiFiGANHead(blocked_tail=True)
+    v = jax.jit(gp.init)(jax.random.PRNGKey(0), x)
+    vb = jax.eval_shape(lambda: gb.init(jax.random.PRNGKey(0), x))
+    assert jtu.tree_structure(v) == jtu.tree_structure(vb)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jtu.tree_leaves(v), jtu.tree_leaves(vb))
+    )
+    y0 = gp.apply(v, x)
+    y1 = gb.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), atol=2e-5, rtol=1e-4
+    )
