@@ -129,20 +129,88 @@ def _dft_kernel(n_fft: int, win_length: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _stft_conv(y: jax.Array, n_fft: int, hop_length: int, win_length: int):
-    """[B, T] -> [B, bins, frames] real/imag pair stacked over channel dim."""
-    kernel = jnp.asarray(_dft_kernel(n_fft, win_length))
-    out = jax.lax.conv_general_dilated(
-        y[:, None, :].astype(jnp.float32),
-        kernel,
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+    """[B, T] -> [B, bins, frames] real/imag pair stacked over channel dim.
+
+    Carries a custom VJP: XLA's autodiff of a strided conv is an
+    lhs-dilated stride-1 conv over the whole signal — ``hop``x the forward
+    FLOPs (measured 1.38 s for the 3-scale mel-loss backward at B=8,
+    T=32768, vs 92 ms forward). The hand-written backward is one GEMM the
+    same size as the forward plus an overlap-add of ceil(n_fft/hop)
+    shifted adds.
+    """
+    return _stft_conv_fwd(y, n_fft, hop_length, win_length)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_kernel_padded(n_fft: int, win_length: int, k_pad: int) -> np.ndarray:
+    """[k_pad, 2*bins] windowed-DFT GEMM matrix (zero rows past n_fft)."""
+    k = _dft_kernel(n_fft, win_length)[:, 0, :]  # [C, n_fft]
+    return np.pad(k, ((0, 0), (0, k_pad - n_fft))).T.copy()  # [k_pad, C]
+
+
+def _stft_conv_fwd(y, n_fft, hop_length, win_length):
+    # Framing via hop-blocks + ONE dense GEMM. The naive formulation — a
+    # stride-hop conv with a [C, 1, n_fft] kernel — leaves XLA a Cin=1
+    # convolution it lowers poorly (measured ~1 TFLOPS; 92 ms for the
+    # 3-scale mel loss at B=8, T=32768). Stacking k_ov consecutive
+    # [T/hop, hop] blocks materializes the frame matrix and the DFT
+    # becomes [B*F, k_ov*hop] @ [k_ov*hop, 2*bins] on the MXU.
+    y32 = y.astype(jnp.float32)
+    b, t = y32.shape
+    f = (t - n_fft) // hop_length + 1
+    k_ov = -(-n_fft // hop_length)
+    k_pad = k_ov * hop_length
+
+    need = (f - 1 + k_ov) * hop_length
+    yp = jnp.pad(y32, ((0, 0), (0, max(0, need - t)))) if need > t else y32
+    blocks = yp[:, :need].reshape(b, -1, hop_length)
+    frames = jnp.stack(
+        [blocks[:, j : j + f] for j in range(k_ov)], axis=2
+    ).reshape(b, f, k_pad)
+
+    kernel = jnp.asarray(_dft_kernel_padded(n_fft, win_length, k_pad))
+    out = jnp.einsum(
+        "bft,tc->bcf", frames, kernel,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out  # [B, 2*bins, frames]
+    return out, y  # residual used only for shape/dtype (DCE'd)
+
+
+def _stft_conv_bwd(n_fft, hop_length, win_length, res, g):
+    """grad_y[t] = sum_{f,c} g[b,c,f] K[c, t - f*hop] via GEMM + fold."""
+    b, t_in = res.shape
+    y_dtype = res.dtype
+    kernel = jnp.asarray(_dft_kernel(n_fft, win_length))[:, 0, :]  # [C, n_fft]
+
+    # contract channels: per-frame time-domain gradient [B, F, n_fft]
+    frames_grad = jnp.einsum(
+        "bcf,ct->bft", g, kernel, precision=jax.lax.Precision.HIGHEST
+    )
+
+    f = frames_grad.shape[1]
+    k_ov = -(-n_fft // hop_length)  # ceil: frames overlapping one sample
+    pad = k_ov * hop_length - n_fft
+    fg = jnp.pad(frames_grad, ((0, 0), (0, 0), (0, pad))).reshape(
+        b, f, k_ov, hop_length
+    )
+
+    # overlap-add: sample (f+j)*hop + r accumulates fg[:, f, j, r]
+    n_blocks = f + k_ov - 1
+    acc = jnp.zeros((b, n_blocks, hop_length), frames_grad.dtype)
+    for j in range(k_ov):
+        acc = acc.at[:, j : j + f].add(fg[:, :, j])
+    grad_y = acc.reshape(b, n_blocks * hop_length)
+    covered = n_blocks * hop_length
+    if covered < t_in:  # tail samples no frame touched: zero gradient
+        grad_y = jnp.pad(grad_y, ((0, 0), (0, t_in - covered)))
+    else:
+        grad_y = grad_y[:, :t_in]
+    return (grad_y.astype(y_dtype),)
+
+
+_stft_conv.defvjp(_stft_conv_fwd, _stft_conv_bwd)
 
 
 def stft_magnitude(
