@@ -25,6 +25,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.mel import LogMelSpectrogram, stft_magnitude
@@ -163,12 +164,27 @@ class MultiScaleDiscriminator(nn.Module):
 
 
 class DiscriminatorR(nn.Module):
-    """Resolution discriminator over STFT magnitude (reference mrd.py:7-77)."""
+    """Resolution discriminator over STFT magnitude (reference mrd.py:7-77).
+
+    ``blocked=True`` (default) runs the C=32 frequency-axis convs in a
+    space-to-depth layout (4 F-bins folded into channels -> 128 MXU
+    lanes; see ops/blocked_conv.py). Identical params and, after masking
+    the block-padding columns each layer, identical outputs.
+    """
 
     n_fft: int = 1024
     hop_length: int = 120
     win_length: int = 600
     leaky_relu_slope: float = 0.2
+    blocked: bool = True
+
+    _SPECS = (
+        (32, (3, 9), (1, 1), ((1, 1), (4, 4))),
+        (32, (3, 9), (1, 2), ((1, 1), (4, 4))),
+        (32, (3, 9), (1, 2), ((1, 1), (4, 4))),
+        (32, (3, 9), (1, 2), ((1, 1), (4, 4))),
+        (32, (3, 3), (1, 1), ((1, 1), (1, 1))),
+    )
 
     @nn.compact
     def __call__(self, x):
@@ -184,20 +200,82 @@ class DiscriminatorR(nn.Module):
         )  # [B, F, TT]
         h = jnp.swapaxes(mag, 1, 2)[..., None]  # [B, TT, F, 1] NHWC
 
+        if self.blocked:
+            return self._call_blocked(h)
+
         fmap = []
-        specs = [
-            (32, (3, 9), (1, 1), [(1, 1), (4, 4)]),
-            (32, (3, 9), (1, 2), [(1, 1), (4, 4)]),
-            (32, (3, 9), (1, 2), [(1, 1), (4, 4)]),
-            (32, (3, 9), (1, 2), [(1, 1), (4, 4)]),
-            (32, (3, 3), (1, 1), [(1, 1), (1, 1)]),
-        ]
-        for i, (ch, k, s, p) in enumerate(specs):
-            h = _wn_conv2d(ch, k, s, p, f"convs_{i}")(h)
+        for i, (ch, k, s, p) in enumerate(self._SPECS):
+            h = _wn_conv2d(ch, k, s, list(map(list, p)), f"convs_{i}")(h)
             h = nn.leaky_relu(h, self.leaky_relu_slope)
             fmap.append(h)
 
         h = _wn_conv2d(1, (3, 3), (1, 1), [(1, 1), (1, 1)], "conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+    def _call_blocked(self, h):
+        from ..ops.blocked_conv import (
+            ConvParams,
+            WNScale,
+            blocked_apply_2d,
+            conv_triples,
+            strided_triples,
+            weight_norm_kernel,
+        )
+
+        S = 4
+        b, tt, f_true, _ = h.shape
+        nb0 = -(-f_true // S)
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, nb0 * S - f_true), (0, 0)))
+        h = h.reshape(b, tt, nb0, S)  # [B, TT, NB, S*1]
+
+        def wn_conv(hb, name, cin, cout, kt, kf, triples, bs, t_pad):
+            scale = WNScale(conv_name=f"{name}_conv", features=cout, name=name)()
+            kernel, bias = ConvParams(
+                kernel_shape=(kt, kf, cin, cout),
+                features=cout,
+                kernel_init=nn.initializers.normal(0.01),
+                name=f"{name}_conv",
+            )()
+            w = weight_norm_kernel(kernel, scale)
+            return blocked_apply_2d(
+                hb, w, bias, triples, S, S, jnp.float32, t_pad, bs
+            )
+
+        def unblock(hb, ch, f_cur):
+            bb, ttt, nb, _ = hb.shape
+            return hb.reshape(bb, ttt, nb * S, ch)[:, :, :f_cur]
+
+        fmap = []
+        f_cur = f_true
+        for i, (ch, k, s, p) in enumerate(self._SPECS):
+            kt, kf = k
+            st_f = s[1]
+            pf = p[1][0]
+            cin = 1 if i == 0 else self._SPECS[i - 1][0]
+            triples = (
+                conv_triples(kf, 1, S, pad=pf)
+                if st_f == 1
+                else strided_triples(kf, st_f, pf, S)
+            )
+            h = wn_conv(h, f"convs_{i}", cin, ch, kt, kf, triples, st_f, p[0])
+            f_cur = (f_cur + 2 * pf - kf) // st_f + 1
+            # zero the block-padding columns: the plain path's virtual
+            # conv padding is zero there, but bias (and later mixing)
+            # would pollute the next layer's edge outputs
+            nb = h.shape[2]
+            mask = np.repeat(
+                (np.arange(nb * S) < f_cur).reshape(nb, S), ch, axis=1
+            )
+            h = h * jnp.asarray(mask, h.dtype)
+            h = nn.leaky_relu(h, self.leaky_relu_slope)
+            fmap.append(unblock(h, ch, f_cur))
+
+        h = wn_conv(
+            h, "conv_post", self._SPECS[-1][0], 1, 3, 3,
+            conv_triples(3, 1, S, pad=1), 1, (1, 1),
+        )
+        h = unblock(h, 1, f_cur)
         fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
 

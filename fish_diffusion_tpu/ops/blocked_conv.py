@@ -96,6 +96,44 @@ def blocked_apply(xb, taps, bias, triples, s_in, s_out, dtype):
     return yb
 
 
+def blocked_apply_2d(
+    xb, taps, bias, triples, s_in, s_out, dtype, t_pad, block_stride=1
+):
+    """Blocked conv over the SECOND spatial axis of a 2-D NHWC conv.
+
+    xb ``[B, TT, NB, s_in*Cin]``; taps ``[kt, kf, Cin, Cout]`` scattered
+    along the W (blocked) axis into ``[kt, Kb, s_in*Cin, s_out*Cout]``;
+    the H axis stays a plain conv dim (kernel kt, stride 1, padding
+    ``t_pad``). ``block_stride`` strides the conv in block units (e.g. a
+    stride-2 frequency conv with s_in == s_out uses block_stride=2).
+    """
+    kt = taps.shape[0]
+    cin, cout = taps.shape[2], taps.shape[3]
+    qs = [m // s_in for (_, m, _) in triples]
+    qmin, qmax = min(qs), max(qs)
+    kb = qmax - qmin + 1
+    q_i = np.asarray([m // s_in - qmin for (_, m, _) in triples], np.int32)
+    j_i = np.asarray([m % s_in for (_, m, _) in triples], np.int32)
+    n_i = np.asarray([n for (n, _, _) in triples], np.int32)
+    w_i = np.asarray([w for (_, _, w) in triples], np.int32)
+
+    taps2 = jnp.moveaxis(taps, 0, -1)  # [kf, cin, cout, kt]
+    wb = jnp.zeros((kb, s_in, cin, s_out, cout, kt), taps.dtype)
+    wb = wb.at[q_i, j_i, :, n_i, :, :].add(taps2[w_i])
+    wb = jnp.moveaxis(wb, -1, 0).reshape(kt, kb, s_in * cin, s_out * cout)
+
+    yb = jax.lax.conv_general_dilated(
+        xb.astype(dtype),
+        wb.astype(dtype),
+        window_strides=(1, block_stride),
+        padding=[tuple(t_pad), (-qmin, qmax)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        yb = yb + jnp.tile(bias, s_out).astype(dtype)
+    return yb
+
+
 class ConvParams(nn.Module):
     """Parameter container matching ``nn.Conv``'s tree (kernel + bias).
 

@@ -248,3 +248,38 @@ class TestDiscriminatorGradientSafety:
 
         g = jax.grad(loss)(wav)
         assert bool(jnp.isfinite(g).all()), "NaN grad at silent input"
+
+
+class TestBlockedMRD:
+    """Space-to-depth DiscriminatorR (blocked=True, the default) ==
+    plain path: same param tree, same scores and fmaps."""
+
+    def test_blocked_matches_plain(self):
+        import jax.tree_util as jtu
+
+        from fish_diffusion_tpu.models.discriminators import DiscriminatorR
+
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 8192)) * 0.1,
+            jnp.float32,
+        )
+        dp = DiscriminatorR(1024, 120, 600, blocked=False)
+        db = DiscriminatorR(1024, 120, 600, blocked=True)
+        v = jax.jit(dp.init)(jax.random.PRNGKey(0), x)
+        vb = jax.eval_shape(lambda: db.init(jax.random.PRNGKey(0), x))
+        assert jtu.tree_structure(v) == jtu.tree_structure(vb)
+        assert all(
+            a.shape == b.shape
+            for a, b in zip(jtu.tree_leaves(v), jtu.tree_leaves(vb))
+        )
+
+        s0, f0 = dp.apply(v, x)
+        s1, f1 = db.apply(v, x)
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), atol=2e-5, rtol=1e-4
+        )
+        for a, b in zip(f0, f1):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+            )
