@@ -180,11 +180,25 @@ def main():
     train_fps = _bench_training()
 
     gan = {}
-    for prefix, path in (
-        ("gan", "docs/artifacts/gan_run_r02.json"),
-        ("vocoder", "docs/artifacts/vocoder_run_r02.json"),
+    # live ~30-step probes of both adversarial regimes (VERDICT r2 next #3:
+    # BENCH must catch regressions in the GAN/vocoder step, not replay them)
+    try:
+        gan["gan_steps_per_sec_probe"] = round(_bench_gan_probe(), 3)
+    except Exception as e:
+        gan["gan_steps_per_sec_probe_error"] = str(e)[:200]
+    try:
+        gan["vocoder_steps_per_sec_probe"] = round(_bench_vocoder_probe(), 3)
+    except Exception as e:
+        gan["vocoder_steps_per_sec_probe_error"] = str(e)[:200]
+
+    import glob
+
+    for prefix, pattern in (
+        ("gan", "docs/artifacts/gan_run_r*.json"),
+        ("vocoder", "docs/artifacts/vocoder_run_r*.json"),
     ):
         try:
+            path = sorted(glob.glob(pattern))[-1]
             with open(path) as f:
                 g = json.load(f)
             audio_sps = g.get("audio_sec_per_sec") or (
@@ -229,6 +243,134 @@ def main():
             }
         )
     )
+
+
+def _bench_gan_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
+    """Live HiFiSinger-v2 adversarial step probe (configs/svc_hifisinger_v2
+    .py model, random-but-finite data): steps/sec on this chip."""
+    from fish_diffusion_tpu.config import Config
+    from fish_diffusion_tpu.models.hifisinger import HiFiSinger
+    from fish_diffusion_tpu.parallel import make_mesh, shard_batch
+    from fish_diffusion_tpu.training.gan import (
+        Discriminators,
+        create_gan_state,
+        make_gan_train_step,
+    )
+    from fish_diffusion_tpu.training.optim import build_optimizer
+
+    cfg = Config.fromfile("configs/svc_hifisinger_v2.py")
+    mc = cfg.model
+    hop = mc.encoder.get("hop_length", 256)
+    sr = mc.encoder.get("sampling_rate", 44100)
+    segment = cfg.dataset.train.get("segment_size", 32768)
+    n_frames = segment // hop
+    content_dim = mc.text_encoder.get("input_size", 768)
+
+    model_cfg = {
+        k: v
+        for k, v in dict(mc).items()
+        if k not in ("type", "mpd", "mrd", "msd", "multi_scale_mels")
+    }
+    model = HiFiSinger(**model_cfg)
+
+    def generator_apply(params, b, rng):
+        return model.apply(
+            {"params": params},
+            speakers=b["speaker"],
+            contents=b["contents"],
+            pitches=b["pitches"],
+            rngs={"noise": rng},
+        )
+
+    discs = Discriminators(
+        "v2",
+        mpd_cfg=dict(mc.get("mpd", {})) or None,
+        mrd_cfg=dict(mc.get("mrd", {})) or None,
+    )
+    tx_g = build_optimizer(dict(cfg.optimizer), dict(cfg.scheduler), steps_per_epoch=32)
+    tx_d = build_optimizer(dict(cfg.optimizer), dict(cfg.scheduler), steps_per_epoch=32)
+    mesh = make_mesh()
+    step_fn = make_gan_train_step(
+        generator_apply, discs, tx_g, tx_d,
+        sampling_rate=sr,
+        multi_scale_mels=tuple(
+            tuple(s) for s in mc.get("multi_scale_mels", [(2048, hop, 2048)])
+        ),
+        mesh=mesh,
+    )
+
+    rng_np = np.random.default_rng(0)
+    batch_h = {
+        "audio": jnp.asarray(
+            rng_np.uniform(-0.5, 0.5, (batch, segment)), jnp.float32
+        ),
+        "contents": jnp.asarray(
+            rng_np.standard_normal((batch, n_frames, content_dim)), jnp.float32
+        ),
+        "pitches": jnp.asarray(
+            rng_np.uniform(110, 440, (batch, n_frames)), jnp.float32
+        ),
+        "speaker": jnp.zeros((batch,), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    def gen_init():
+        return model.init(
+            {"params": rng, "noise": jax.random.fold_in(rng, 1)},
+            speakers=batch_h["speaker"][:1],
+            contents=batch_h["contents"][:1],
+            pitches=batch_h["pitches"][:1],
+        )["params"]
+
+    state = create_gan_state(
+        gen_init, discs, batch_h["audio"][:1], rng, tx_g, tx_d
+    )
+    sb = shard_batch(batch_h, mesh)
+    for _ in range(warmup):
+        state, metrics = step_fn(state, sb, rng)
+    assert np.isfinite(float(metrics["loss_g"]))
+    start = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, sb, rng)
+    _ = float(metrics["loss_g"])
+    return steps / (time.perf_counter() - start)
+
+
+def _bench_vocoder_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
+    """Live NSF-HiFiGAN v1 vocoder trainer step probe
+    (configs/vocoder_nsf_hifigan.py: MPD+MSD+fm+multi-STFT/mel losses)."""
+    from fish_diffusion_tpu.config import Config
+    from fish_diffusion_tpu.training.vocoder_trainer import VocoderTrainer
+
+    cfg = Config.fromfile("configs/vocoder_nsf_hifigan.py")
+    segment = cfg.dataset.train.get("segment_size", 32768)
+    trainer = VocoderTrainer(cfg, log_dir="/tmp/bench_vocoder", steps_per_epoch=32)
+
+    rng_np = np.random.default_rng(0)
+    clean = {
+        "audio": jnp.asarray(
+            rng_np.uniform(-0.5, 0.5, (batch, segment)), jnp.float32
+        ),
+        "pitches": jnp.asarray(
+            np.repeat(
+                rng_np.uniform(110, 440, (batch, segment // 512)), 512, axis=1
+            ),
+            jnp.float32,
+        ),
+    }
+    state = trainer.init_state(clean, seed=0)
+    from fish_diffusion_tpu.parallel.distributed import make_global_batch
+
+    sb = make_global_batch(clean, trainer.mesh)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        state, metrics = trainer._train_step(state, sb, rng)
+    assert np.isfinite(float(metrics["loss_g"]))
+    start = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = trainer._train_step(state, sb, rng)
+    _ = float(metrics["loss_g"])
+    return steps / (time.perf_counter() - start)
 
 
 def _bench_training():

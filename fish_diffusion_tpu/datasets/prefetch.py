@@ -1,0 +1,142 @@
+"""Async device feed: overlap host collation + host->device transfer with
+device compute.
+
+The reference overlaps input work with compute through torch DataLoader
+worker processes + pinned memory + CUDA's copy stream
+(``/root/reference/fish_diffusion/datasets/utils.py:13-34``,
+``datasets/naive.py:44-49``). The JAX/TPU equivalent is simpler: transfers
+enqueued by ``jax.device_put`` are asynchronous, so a single background
+thread that *dispatches* the put for batch N+1 while the device executes
+step N is enough to hide the input pipeline — provided the training loop
+never forces a per-step synchronization (``int(state.step)``,
+``float(metric)``) between steps.
+
+``DeviceFeeder`` is that thread + a bounded queue (``depth`` batches in
+flight). It also records where time goes so sustained-throughput gaps can
+be attributed: ``stats["host_wait_s"]`` is time the *consumer* spent
+waiting on the feeder (input-bound), ``stats["put_s"]`` is time the
+producer spent inside collation + device_put dispatch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, Iterable, Optional
+
+_SENTINEL = object()
+
+
+class DeviceFeeder:
+    """Iterate ``put_fn(batch)`` results with a ``depth``-deep background
+    pipeline.
+
+    Args:
+        batches: iterable of host batches (e.g. a DataLoader, a generator).
+        put_fn: host batch -> device batch; typically
+            ``lambda b: make_global_batch(b, mesh)``. Runs on the feeder
+            thread — it must only *dispatch* async work (device_put is
+            async; avoid blocking reads of device values here).
+        depth: maximum batches in flight (queued + being produced). 2 is
+            enough to double-buffer; more only adds device memory.
+    """
+
+    def __init__(
+        self,
+        batches: Iterable,
+        put_fn: Optional[Callable] = None,
+        depth: int = 2,
+    ):
+        self._batches = batches
+        self._put_fn = put_fn or (lambda x: x)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self.stats = {"host_wait_s": 0.0, "put_s": 0.0, "batches": 0}
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            for host_batch in self._batches:
+                if self._stop.is_set():
+                    return
+                t0 = time.perf_counter()
+                dev_batch = self._put_fn(host_batch)
+                self.stats["put_s"] += time.perf_counter() - t0
+                # bounded put, but stay responsive to close()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(dev_batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate to the consumer
+            self._err = e
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(_SENTINEL, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        t0 = time.perf_counter()
+        item = self._q.get()
+        self.stats["host_wait_s"] += time.perf_counter() - t0
+        if item is _SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        self.stats["batches"] += 1
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so a blocked producer can exit
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DeferredLogger:
+    """One-interval-late metric materialization.
+
+    Calling ``float()`` on a step's metrics blocks until that step's whole
+    XLA program finishes — done eagerly it serializes host and device.
+    ``push`` stashes the (step, metrics) pair; the *next* ``push`` (or
+    ``flush``) materializes the previous one, by which time the device has
+    long finished it, so the sync is free.
+
+    ``emit(step, scalars)`` receives plain-float scalars.
+    """
+
+    def __init__(self, emit: Callable[[int, dict], None]):
+        self._emit = emit
+        self._pending = None
+
+    def push(self, step: int, metrics: dict, extra: Optional[dict] = None):
+        self.flush()
+        self._pending = (step, metrics, extra or {})
+
+    def flush(self):
+        if self._pending is None:
+            return
+        step, metrics, extra = self._pending
+        self._pending = None
+        scalars = {k: float(v) for k, v in metrics.items()}
+        scalars.update(extra)
+        self._emit(step, scalars)

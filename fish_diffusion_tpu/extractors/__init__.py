@@ -1,4 +1,4 @@
-from . import crepe, energy, feature, pitch, rmvpe, tokenizers  # noqa: F401
+from . import crepe, energy, feature, pitch, rmvpe, tokenizers, world  # noqa: F401
 from .feature import BaseFeatureExtractor, ContentVec, HubertEncoder, HubertSoft
 from .energy import RMSEnergyExtractor
 from .pitch import (

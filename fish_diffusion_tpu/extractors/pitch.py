@@ -462,20 +462,269 @@ class ParselMouthPitchExtractor(AutocorrPitchExtractor):
     (the praat/parselmouth C library is replaced by the batched ACF above)."""
 
 
-@PITCH_EXTRACTORS.register_module(name="HarvestPitchExtractor")
-class HarvestPitchExtractor(AutocorrPitchExtractor):
-    """Alias for pyworld Harvest configs -> native ACF extractor."""
+# Harvest/Dio live in extractors/world.py now (native DIO + StoneMask).
+# CrepePitchExtractor is a real flax port of the CREPE net — see
+# extractors/crepe.py (it registers itself under the reference name).
 
 
-@PITCH_EXTRACTORS.register_module(name="DioPitchExtractor")
-class DioPitchExtractor(AutocorrPitchExtractor):
-    """Alias for pyworld DIO configs -> native ACF extractor."""
+# -- pYIN -------------------------------------------------------------------
+
+_PYIN_K = 8  # YIN troughs kept per frame (the prefix-minima staircase)
+
+
+def _beta_cdf_grid(a: float, b: float, n: int = 512) -> np.ndarray:
+    """CDF of Beta(a, b) tabulated on [0, 1] (host side)."""
+    from scipy.special import betainc
+
+    return betainc(a, b, np.linspace(0.0, 1.0, n)).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _pyin_observations(
+    x: jax.Array,
+    sampling_rate: int,
+    frame_length: int,
+    hop_length: int,
+    f0_min: float,
+    f0_max: float,
+    beta_cdf: jax.Array = None,
+    no_trough_prob: float = 0.01,
+):
+    """pYIN observation stage (Mauch & Dixon 2014; reference wraps
+    ``librosa.pyin``, ``modules/pitch_extractors/pyin.py:9``).
+
+    YIN's CMND per frame -> candidate troughs with probabilities under a
+    Beta(2, 18) prior over the YIN threshold. librosa evaluates "first
+    trough below s" for 100 thresholds s; the set of possible winners is
+    exactly the prefix-minima staircase of the trough sequence, so each
+    staircase trough c (value v_c, predecessor staircase value v_prev)
+    gets mass CDF(v_prev) - CDF(v_c) in closed form — no threshold loop.
+    Thresholds below every trough contribute the global-min trough with
+    weight ``no_trough_prob``.
+
+    Returns (freqs [T, K], probs [T, K]): per-frame candidate frequencies
+    and their voiced-probability mass (sum <= 1).
+    """
+    frames = _frame_signal(x, frame_length, hop_length)
+    n_frames, W = frames.shape
+    tau_max = min(int(sampling_rate / f0_min) + 1, W // 2)
+    tau_min = max(int(sampling_rate / f0_max), 1)
+    half = W // 2
+
+    fft = jnp.fft.rfft(frames, n=2 * W, axis=-1)
+    acf = jnp.fft.irfft(fft * jnp.conj(fft), axis=-1)[:, : half + 1]
+    sq = frames * frames
+    csum = jnp.concatenate(
+        [jnp.zeros((n_frames, 1)), jnp.cumsum(sq, axis=-1)], axis=-1
+    )
+    total = csum[:, W][:, None]
+    taus = jnp.arange(half + 1)
+    e_head = jnp.take_along_axis(
+        csum, (W - taus)[None, :].repeat(n_frames, 0), axis=1
+    )
+    e_tail = total - jnp.take_along_axis(
+        csum, taus[None, :].repeat(n_frames, 0), axis=1
+    )
+    d = e_head + e_tail - 2 * acf
+    cum = jnp.cumsum(d[:, 1:], axis=-1)
+    cmnd = jnp.concatenate(
+        [
+            jnp.ones((n_frames, 1)),
+            d[:, 1:] * taus[1:][None, :] / jnp.maximum(cum, 1e-9),
+        ],
+        axis=-1,
+    )
+
+    band = (taus >= tau_min) & (taus < tau_max)
+    prev_v = jnp.pad(cmnd[:, :-1], ((0, 0), (1, 0)), constant_values=np.inf)
+    next_v = jnp.pad(cmnd[:, 1:], ((0, 0), (0, 1)), constant_values=np.inf)
+    is_trough = (cmnd <= prev_v) & (cmnd < next_v) & band[None, :]
+    tval = jnp.where(is_trough, cmnd, jnp.inf)
+
+    # prefix-minima staircase: a trough is a possible "first below s" iff
+    # it is strictly lower than every earlier trough
+    run_min = jax.lax.associative_scan(jnp.minimum, tval, axis=1)
+    prev_run_min = jnp.pad(
+        run_min[:, :-1], ((0, 0), (1, 0)), constant_values=np.inf
+    )
+    on_stair = is_trough & (tval < prev_run_min)
+
+    # keep the K shallowest-by-order staircase troughs (ordered by tau)
+    stair_rank = jnp.cumsum(on_stair, axis=1) - 1  # rank along the stair
+    row = jnp.arange(n_frames)[:, None]
+    scat_tau = jnp.where(on_stair & (stair_rank < _PYIN_K), stair_rank, _PYIN_K)
+    cand_tau = jnp.full((n_frames, _PYIN_K + 1), -1, jnp.int32).at[
+        row, scat_tau
+    ].set(jnp.broadcast_to(taus[None, :], tval.shape), mode="drop")[:, :_PYIN_K]
+
+    has_cand = cand_tau >= 0
+    ct = jnp.maximum(cand_tau, 1)
+    cv = jnp.take_along_axis(cmnd, ct, axis=1)  # staircase values v_c
+    cv_prev = jnp.concatenate(
+        [jnp.full((n_frames, 1), 1.0), cv[:, :-1]], axis=1
+    )  # v_{c-1}; first trough competes with threshold cap at 1.0
+
+    # mass_c = P(v_c < s <= v_prev) under the Beta prior
+    grid_n = beta_cdf.shape[0]
+
+    def cdf(v):
+        pos = jnp.clip(v, 0.0, 1.0) * (grid_n - 1)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, grid_n - 1)
+        w = pos - i0
+        return beta_cdf[i0] * (1 - w) + beta_cdf[i1] * w
+
+    mass = jnp.where(has_cand, cdf(cv_prev) - cdf(cv), 0.0)
+    # thresholds below the deepest trough: global-min trough, damped
+    deepest = jnp.argmax(
+        jnp.where(has_cand, jnp.arange(_PYIN_K)[None, :], -1), axis=1
+    )
+    deep_mass = cdf(jnp.min(jnp.where(has_cand, cv, jnp.inf), axis=1))
+    mass = mass.at[jnp.arange(n_frames), deepest].add(
+        jnp.where(has_cand.any(axis=1), no_trough_prob * deep_mass, 0.0)
+    )
+
+    # parabolic tau refinement per candidate
+    t0 = jnp.clip(ct - 1, 0, half)
+    t2 = jnp.clip(ct + 1, 0, half)
+    y0 = jnp.take_along_axis(cmnd, t0, axis=1)
+    y1 = cv
+    y2 = jnp.take_along_axis(cmnd, t2, axis=1)
+    denom = y0 - 2 * y1 + y2
+    offset = jnp.where(
+        jnp.abs(denom) > 1e-12,
+        0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+        0.0,
+    )
+    offset = jnp.clip(offset, -1.0, 1.0)
+    freqs = sampling_rate / jnp.maximum(ct + offset, 1e-6)
+    valid = has_cand & (freqs >= f0_min) & (freqs <= f0_max)
+    return jnp.where(valid, freqs, 0.0), jnp.where(valid, mass, 0.0)
+
+
+def _pyin_transition(n_bins: int, switch_prob: float, window: int) -> np.ndarray:
+    """[2S, 2S] log-transition matrix: triangular local pitch moves x
+    voiced<->unvoiced switching (librosa.sequence.transition_local style)."""
+    S = n_bins
+    local = np.zeros((S, S), np.float64)
+    for i in range(S):
+        lo, hi = max(0, i - window), min(S, i + window + 1)
+        w = window + 1 - np.abs(np.arange(lo, hi) - i)
+        local[i, lo:hi] = w / w.sum()
+    A = np.block(
+        [
+            [(1 - switch_prob) * local, switch_prob * local],
+            [switch_prob * local, (1 - switch_prob) * local],
+        ]
+    )
+    return np.log(np.maximum(A, 1e-30)).astype(np.float32)
+
+
+@jax.jit
+def _pyin_viterbi(log_obs: jax.Array, log_A: jax.Array) -> jax.Array:
+    """Max-product decode. log_obs: [T, 2S] -> state path [T]."""
+
+    def fwd(delta, obs_t):
+        scores = delta[:, None] + log_A
+        best_prev = jnp.argmax(scores, axis=0)
+        return jnp.max(scores, axis=0) + obs_t, best_prev
+
+    delta_T, backptrs = jax.lax.scan(fwd, log_obs[0], log_obs[1:])
+    last = jnp.argmax(delta_T)
+
+    def bwd(state, bp_t):
+        return bp_t[state], state
+
+    first, tail = jax.lax.scan(bwd, last, backptrs, reverse=True)
+    return jnp.concatenate([first[None], tail])
 
 
 @PITCH_EXTRACTORS.register_module(name="PyinPitchExtractor")
-class PyinPitchExtractor(YinPitchExtractor):
-    """Alias for librosa pyin configs -> native YIN extractor."""
+class PyinPitchExtractor(BasePitchExtractor):
+    """Probabilistic YIN (reference ``modules/pitch_extractors/pyin.py:9``
+    = librosa.pyin): multi-threshold YIN candidates under a Beta(2, 18)
+    threshold prior + Viterbi over (pitch bin x voiced/unvoiced) HMM
+    states. See ``_pyin_observations`` for the closed-form threshold
+    marginalization that replaces librosa's 100-threshold loop.
+    """
 
+    def __init__(
+        self,
+        frame_length: int = 2048,
+        bins_per_octave: int = 48,
+        switch_prob: float = 0.01,
+        transition_width: int = 8,
+        beta_parameters=(2.0, 18.0),
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.frame_length = frame_length
+        self.bins_per_octave = bins_per_octave
+        self.switch_prob = switch_prob
+        self.transition_width = transition_width
+        self._beta_cdf = jnp.asarray(_beta_cdf_grid(*beta_parameters))
+        self._n_bins = int(
+            np.ceil(np.log2(self.f0_max / self.f0_min) * bins_per_octave)
+        )
+        self._log_A = jnp.asarray(
+            _pyin_transition(self._n_bins, switch_prob, transition_width)
+        )
 
-# CrepePitchExtractor is a real flax port of the CREPE net now — see
-# extractors/crepe.py (it registers itself under the reference name).
+    def __call__(self, x, sampling_rate=44100, pad_to=None):
+        x = jnp.asarray(x, jnp.float32).reshape(-1)
+        freqs, probs = _pyin_observations(
+            x,
+            int(sampling_rate),
+            self.frame_length,
+            self.hop_length,
+            float(self.f0_min),
+            float(self.f0_max),
+            beta_cdf=self._beta_cdf,
+        )
+        f0 = self._decode(freqs, probs)
+        return self.post_process(x, sampling_rate, np.asarray(f0), pad_to)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode(self, freqs, probs):
+        S = self._n_bins
+        T = freqs.shape[0]
+        # bin the candidates; probability mass -> observation matrix
+        bins = jnp.where(
+            freqs > 0,
+            jnp.clip(
+                (jnp.log2(jnp.maximum(freqs, 1e-6) / self.f0_min)
+                 * self.bins_per_octave).astype(jnp.int32),
+                0,
+                S - 1,
+            ),
+            0,
+        )
+        obs_v = jnp.zeros((T, S)).at[
+            jnp.arange(T)[:, None], bins
+        ].add(probs)
+        p_voiced = jnp.clip(probs.sum(axis=1), 0.0, 1.0)
+        obs_u = jnp.broadcast_to(((1.0 - p_voiced) / S)[:, None], (T, S))
+        log_obs = jnp.log(jnp.concatenate([obs_v, obs_u], axis=1) + 1e-12)
+
+        path = _pyin_viterbi(log_obs, self._log_A)
+        voiced = path < S
+        bin_idx = jnp.where(voiced, path, 0)
+
+        # output the refined candidate frequency closest to the decoded bin
+        # (librosa keeps the candidate grid's resolution, not bin centers)
+        bin_f = self.f0_min * 2.0 ** (
+            (bin_idx.astype(jnp.float32) + 0.5) / self.bins_per_octave
+        )
+        dist = jnp.where(
+            freqs > 0, jnp.abs(jnp.log2(jnp.maximum(freqs, 1e-6) / bin_f[:, None])), np.inf
+        )
+        nearest = jnp.argmin(dist, axis=1)
+        cand_f = jnp.take_along_axis(freqs, nearest[:, None], axis=1)[:, 0]
+        use_cand = jnp.isfinite(
+            jnp.take_along_axis(dist, nearest[:, None], axis=1)[:, 0]
+        ) & (
+            jnp.take_along_axis(dist, nearest[:, None], axis=1)[:, 0]
+            < 1.0 / self.bins_per_octave
+        )
+        f0 = jnp.where(use_cand, cand_f, bin_f)
+        return jnp.where(voiced, f0, 0.0)

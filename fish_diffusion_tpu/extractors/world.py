@@ -1,0 +1,291 @@
+"""WORLD-family pitch estimators (DIO + StoneMask), native batched JAX.
+
+The reference wraps pyworld's C implementations
+(``/root/reference/fish_diffusion/modules/pitch_extractors/world.py:8-38``:
+``pw.dio``/``pw.harvest`` + ``pw.stonemask``). pyworld does not exist in
+this image and its event-driven C loops do not map to TPU, so this module
+re-implements the *algorithms* in vectorized JAX:
+
+DIO (Morise et al., "DIO: a fast and reliable F0 estimator", and the
+pyworld ``dio.cpp`` pipeline):
+  1. a bank of low-pass filters at half-octave-spaced cutoff frequencies
+     (``boundary_f0`` channels) isolates the fundamental in the channel
+     whose cutoff brackets the true f0;
+  2. per channel, FOUR event-interval period estimates — intervals between
+     negative→positive zero crossings, positive→negative crossings, peaks
+     and dips — with sub-sample event-time interpolation;
+  3. a channel's candidate is the mean of the four estimates; its
+     reliability score is their relative spread (they only agree when the
+     channel's filtered signal is a near-sinusoid at the fundamental);
+  4. the best (lowest-spread) candidate per frame wins; unstable frames are
+     unvoiced, plus a median-consistency fix step in the spirit of
+     pyworld's ``FixF0Contour``.
+  TPU mapping: the event-interval stage is the interesting part — pyworld
+  walks event lists in C; here events become boolean masks and the
+  "interval containing sample t" is recovered with two associative
+  cummax scans (prev/next event time), so the whole estimator is O(T)
+  tensor ops under one jit, batched over filter channels.
+
+StoneMask (pyworld ``stonemask.cpp``): refine each voiced frame by
+instantaneous frequency: window 3 periods around the frame center, evaluate
+the windowed DFT and its time-derivative spectrum at harmonics k*f0
+(k=1..6), IF_k = (Re X_k * Im Y_k - Im X_k * Re Y_k) / (2*pi*|X_k|^2),
+refined f0 = sum_k |X_k| * IF_k / k / sum_k |X_k|, iterated twice. Fixed
+window buffer (3 periods of ``f0_min``); per-frame Hann support scales with
+the candidate period so short periods are not over-windowed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..registry import PITCH_EXTRACTORS
+from .pitch import BasePitchExtractor
+
+_N_EVENT_TYPES = 4
+
+
+def _cummax(x, reverse=False):
+    return jax.lax.associative_scan(jnp.maximum, x, reverse=reverse)
+
+
+def _interval_f0(sig: jax.Array, sr: int) -> jax.Array:
+    """Per-sample f0 from intervals between up-crossings of ``sig``.
+
+    For each sample t, the estimate is sr / (t_next - t_prev) where
+    t_prev/t_next are the sub-sample times of the up-crossing events
+    bracketing t. 0 where no bracketing pair exists.
+    """
+    y0, y1 = sig[:-1], sig[1:]
+    cross = (y0 < 0) & (y1 >= 0)
+    frac = -y0 / jnp.maximum(y1 - y0, 1e-12)
+    t_event = jnp.arange(sig.shape[0] - 1, dtype=jnp.float32) + frac
+
+    prev_t = _cummax(jnp.where(cross, t_event, -jnp.inf))
+    next_t = -_cummax(jnp.where(cross, -t_event, -jnp.inf), reverse=True)
+
+    # interval that CONTAINS sample t: the previous event strictly before
+    # the next one (identical only at the event sample itself — fine)
+    interval = next_t - prev_t
+    good = jnp.isfinite(interval) & (interval > 0)
+    f0 = jnp.where(good, sr / jnp.maximum(interval, 1e-6), 0.0)
+    # pad back to T samples
+    return jnp.concatenate([f0, f0[-1:]])
+
+
+def _nuttall_lowpass(cutoff_hz: float, sr: int) -> np.ndarray:
+    """Windowed-sinc low-pass FIR (Nuttall window, as pyworld's DIO uses
+    for its channel filters). Host-side design."""
+    half = int(round(2.0 * sr / cutoff_hz))
+    n = 2 * half + 1
+    t = np.arange(n) - half
+    h = np.sinc(2.0 * cutoff_hz / sr * t) * (2.0 * cutoff_hz / sr)
+    m = np.arange(n) / (n - 1)
+    w = (
+        0.355768
+        - 0.487396 * np.cos(2 * np.pi * m)
+        + 0.144232 * np.cos(4 * np.pi * m)
+        - 0.012604 * np.cos(6 * np.pi * m)
+    )
+    h = h * w
+    return (h / h.sum()).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _dio_candidates(
+    x: jax.Array,
+    sr: int,
+    hop_length: int,
+    f0_min: float,
+    f0_max: float,
+    channels_in_octave: int = 2,
+):
+    """DIO stages 1-3: filter bank -> event intervals -> per-frame
+    (candidate, spread) per channel.
+
+    Returns (cands [C, F], costs [C, F], centers [F]).
+    """
+    T = x.shape[0]
+    n_frames = T // hop_length + 1
+    centers = jnp.minimum(jnp.arange(n_frames) * hop_length, T - 1)
+
+    n_ch = max(
+        1,
+        int(math.ceil(math.log2(f0_max / f0_min) * channels_in_octave)),
+    )
+    cutoffs = [
+        f0_min * 2.0 ** ((i + 1) / channels_in_octave) for i in range(n_ch)
+    ]
+
+    # one FFT of the signal, all channel filters applied in frequency space
+    max_len = max(2 * int(round(2.0 * sr / c)) + 1 for c in cutoffs)
+    nfft = 1 << int(math.ceil(math.log2(T + max_len)))
+    X = jnp.fft.rfft(x, n=nfft)
+
+    cands, costs = [], []
+    for cutoff in cutoffs:
+        h = _nuttall_lowpass(cutoff, sr)
+        half = (len(h) - 1) // 2
+        H = jnp.fft.rfft(jnp.asarray(h), n=nfft)
+        y = jnp.fft.irfft(X * H, n=nfft)[half : half + T]
+        dy = jnp.diff(y, append=y[-1:])
+
+        ests = jnp.stack(
+            [
+                _interval_f0(y, sr),  # zero crossings up
+                _interval_f0(-y, sr),  # zero crossings down
+                _interval_f0(dy, sr),  # dips (derivative up-crossings)
+                _interval_f0(-dy, sr),  # peaks
+            ]
+        )  # [4, T]
+        ests_f = ests[:, centers]  # [4, F]
+
+        mean = ests_f.mean(axis=0)
+        spread = jnp.sqrt(
+            jnp.maximum(((ests_f - mean) ** 2).mean(axis=0), 0.0)
+        )
+        ok = (
+            (ests_f > 0).all(axis=0)
+            & (mean >= max(f0_min, cutoff / 2))
+            & (mean <= min(f0_max, cutoff))
+        )
+        cands.append(jnp.where(ok, mean, 0.0))
+        costs.append(
+            jnp.where(ok, spread / jnp.maximum(mean, 1e-6), jnp.inf)
+        )
+
+    return jnp.stack(cands), jnp.stack(costs), centers
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _dio_select(cands, costs, stability_threshold=0.12, fix_range=0.15):
+    """DIO stage 4: best channel per frame + FixF0Contour-style cleanup."""
+    best = jnp.argmin(costs, axis=0)
+    idx = jnp.arange(cands.shape[1])
+    f0 = cands[best, idx]
+    cost = costs[best, idx]
+    f0 = jnp.where(jnp.isfinite(cost) & (cost < stability_threshold), f0, 0.0)
+
+    # fix step: a voiced frame must agree with its 3-frame median within
+    # fix_range (removes isolated octave spikes, pyworld FixStep1/2 spirit)
+    left = jnp.concatenate([f0[:1], f0[:-1]])
+    right = jnp.concatenate([f0[1:], f0[-1:]])
+    med = jnp.median(jnp.stack([left, f0, right]), axis=0)
+    ok = jnp.abs(f0 - med) <= fix_range * jnp.maximum(med, 1e-6)
+    return jnp.where(ok, f0, 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
+def _stonemask_refine(
+    x: jax.Array,
+    sr: int,
+    f0: jax.Array,
+    centers_hop: int,
+    f0_min: float,
+    n_harmonics: int = 6,
+):
+    """Instantaneous-frequency refinement (pyworld stonemask.cpp).
+
+    x: [T], f0: [F] (0 = unvoiced) -> refined [F].
+    """
+    T = x.shape[0]
+    F = f0.shape[0]
+    L = int(3.0 * sr / f0_min)
+    L += L % 2  # even buffer
+    half = L // 2
+
+    centers = jnp.minimum(jnp.arange(F) * centers_hop, T - 1)
+    xpad = jnp.pad(x, (half, half))
+    gather = centers[:, None] + jnp.arange(L)[None, :]  # offset by -half+half
+    frames = xpad[gather]  # [F, L], window t in [-half, half)
+    t_rel = (jnp.arange(L, dtype=jnp.float32) - half) / sr  # seconds
+
+    f0_safe = jnp.maximum(f0, f0_min)
+
+    def refine_once(f_cur):
+        period = 1.0 / f_cur  # [F]
+        # Hann over +-1.5 periods, zero outside
+        arg = t_rel[None, :] / (3.0 * period[:, None])  # [-0.5, 0.5] support
+        w = jnp.where(
+            jnp.abs(arg) < 0.5, 0.5 + 0.5 * jnp.cos(2 * jnp.pi * arg), 0.0
+        )
+        wx = w * frames  # [F, L]
+        dwx = jnp.gradient(wx, axis=1) * sr  # d/dt of windowed signal
+
+        num = jnp.zeros_like(f_cur)
+        den = jnp.zeros_like(f_cur)
+        for k in range(1, n_harmonics + 1):
+            fk = k * f_cur  # [F]
+            ph = -2 * jnp.pi * fk[:, None] * t_rel[None, :]
+            c, s = jnp.cos(ph), jnp.sin(ph)
+            xr = (wx * c).sum(axis=1)
+            xi = (wx * s).sum(axis=1)
+            yr = (dwx * c).sum(axis=1)
+            yi = (dwx * s).sum(axis=1)
+            power = xr * xr + xi * xi
+            if_hz = (xr * yi - xi * yr) / (2 * jnp.pi * jnp.maximum(power, 1e-12))
+            amp = jnp.sqrt(jnp.maximum(power, 0.0))
+            valid = fk < (0.5 * sr)
+            amp = jnp.where(valid, amp, 0.0)
+            num = num + amp * if_hz / k
+            den = den + amp
+        return num / jnp.maximum(den, 1e-12)
+
+    r1 = refine_once(f0_safe)
+    r1 = jnp.where((r1 > 0.5 * f0_safe) & (r1 < 2.0 * f0_safe), r1, f0_safe)
+    r2 = refine_once(r1)
+
+    good = (
+        (f0 > 0)
+        & (jnp.abs(r2 - f0) <= 0.12 * f0)
+        & (r2 > 0)
+    )
+    return jnp.where(good, r2, f0)
+
+
+@PITCH_EXTRACTORS.register_module(name="DioPitchExtractor")
+class DioPitchExtractor(BasePitchExtractor):
+    """Native JAX DIO + StoneMask (reference
+    ``modules/pitch_extractors/world.py:24-38``: ``pw.dio`` +
+    ``pw.stonemask``). See the module docstring for the algorithm and its
+    TPU mapping; measured accuracy is in ``docs/pages/quality.md`` /
+    ``tools/pitch_deviation_study.py``."""
+
+    def __init__(self, use_stonemask: bool = True, **kwargs):
+        super().__init__(**kwargs)
+        self.use_stonemask = use_stonemask
+
+    def __call__(self, x, sampling_rate=44100, pad_to=None):
+        x = jnp.asarray(x, jnp.float32).reshape(-1)
+        cands, costs, _ = _dio_candidates(
+            x,
+            int(sampling_rate),
+            self.hop_length,
+            float(self.f0_min),
+            float(self.f0_max),
+        )
+        f0 = _dio_select(cands, costs)
+        if self.use_stonemask:
+            f0 = _stonemask_refine(
+                x, int(sampling_rate), f0, self.hop_length, float(self.f0_min)
+            )
+        return self.post_process(x, sampling_rate, f0, pad_to)
+
+
+@PITCH_EXTRACTORS.register_module(name="HarvestPitchExtractor")
+class HarvestPitchExtractor(DioPitchExtractor):
+    """Harvest configs run on the native DIO+StoneMask estimator.
+
+    pyworld's Harvest (``world.py:8-22``) differs from DIO in its candidate
+    generation (instantaneous-frequency maps over a denser filter bank and
+    no stonemask pass); its contract — filter-bank candidates + refinement,
+    f0/vuv at the frame rate — is the same. StoneMask refinement here plays
+    the role of Harvest's built-in refinement stage. Accuracy of this
+    substitution is measured in the deviation study
+    (``tools/pitch_deviation_study.py``).
+    """

@@ -319,64 +319,94 @@ class Trainer:
         """Train until ``max_steps`` (or ``max_epochs`` if set in
         ``trainer``).
 
+        The input pipeline is asynchronous (``datasets/prefetch.py``): a
+        feeder thread collates and dispatches the ``device_put`` for batch
+        N+1 while the device runs step N, and the loop never forces a
+        per-step sync — the step counter lives on the host and metric
+        reads are deferred one logging interval (by which time the step
+        has finished, so the ``float()`` is free). This replaces the
+        reference's DataLoader-worker overlap
+        (``datasets/naive.py:44-49``, ``datasets/utils.py:13-34``).
+
         Resume semantics (same as the reference in practice, now stated):
         ``resume=True`` restores params/optimizer/EMA/step from the latest
         checkpoint, but NOT the loader position — the epoch restarts at a
         fresh shuffle. With step-based validation/checkpointing and
         shuffled data this only re-draws sample order.
         """
-        state = None
+        import itertools
+
+        from ..datasets.prefetch import DeferredLogger, DeviceFeeder
+
         rng = jax.random.PRNGKey(seed)
         max_epochs = self.config.trainer.get("max_epochs")
+        self._epoch = 0
 
-        step_times = []
-        t_last = time.perf_counter()
+        def host_batches():
+            while max_epochs is None or self._epoch < max_epochs:
+                self._epoch += 1
+                for batch in train_loader:
+                    yield {
+                        k: np.asarray(v)
+                        for k, v in _clean_batch(batch).items()
+                    }
 
-        epoch = 0
-        while max_epochs is None or epoch < max_epochs:
-            epoch += 1
-            for batch in train_loader:
-                clean = _clean_batch(batch)
-                if state is None:
-                    state = self.init_state(clean, seed)
-                    if resume and self.ckpt.latest_step() is not None:
-                        state = self.ckpt.restore(state)
-                        print(f"[trainer] resumed at step {int(state.step)}")
+        batches = host_batches()
+        first = next(batches, None)
+        if first is None:
+            return None
 
-                # multi-host: each process contributes only its local rows;
-                # single-host this is a plain batch-axis device_put
-                sharded = make_global_batch(
-                    {k: np.asarray(v) for k, v in clean.items()}, self.mesh
-                )
+        state = self.init_state(first, seed)
+        if resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            print(f"[trainer] resumed at step {int(state.step)}")
+        step = int(state.step)
+
+        t_emit = [time.perf_counter()]
+
+        def emit(s, scalars):
+            now = time.perf_counter()
+            scalars["steps_per_sec"] = self.log_every_n_steps / max(
+                now - t_emit[0], 1e-9
+            )
+            t_emit[0] = now
+            self.logger.log_scalars(s, scalars)
+
+        dlog = DeferredLogger(emit)
+        feeder = DeviceFeeder(
+            itertools.chain([first], batches),
+            put_fn=lambda b: make_global_batch(b, self.mesh),
+        )
+        try:
+            for sharded in feeder:
                 state, metrics = self._train_step(state, sharded, rng)
-
-                step = int(state.step)
-                now = time.perf_counter()
-                step_times.append(now - t_last)
-                t_last = now
+                step += 1
 
                 if step % self.log_every_n_steps == 0:
-                    scalars = {
-                        "train_loss": metrics["loss"],
-                        "lr": self.lr_schedule(step),
-                        "steps_per_sec": 1.0 / max(np.mean(step_times[-20:]), 1e-9),
-                    }
+                    named = {"train_loss": metrics["loss"]}
                     if "grad_norm" in metrics:
-                        scalars["grad_norm"] = metrics["grad_norm"]
-                    self.logger.log_scalars(step, scalars)
-                    step_times = step_times[-20:]
+                        named["grad_norm"] = metrics["grad_norm"]
+                    dlog.push(
+                        step,
+                        named,
+                        extra={"lr": float(self.lr_schedule(step))},
+                    )
 
                 if step % self.val_check_interval == 0 or step >= self.max_steps:
+                    dlog.flush()
                     val_loss = self.validate(state, valid_loader, step)
                     self.ckpt.save(state, {"valid_loss": val_loss})
+                    t_emit[0] = time.perf_counter()
 
                 if step >= self.max_steps:
                     return state
+        finally:
+            dlog.flush()
+            feeder.close()
 
         # max_epochs exhausted: final validation + checkpoint
-        if state is not None:
-            val_loss = self.validate(state, valid_loader, int(state.step))
-            self.ckpt.save(state, {"valid_loss": val_loss})
+        val_loss = self.validate(state, valid_loader, step)
+        self.ckpt.save(state, {"valid_loss": val_loss})
         return state
 
     # -- validation -------------------------------------------------------

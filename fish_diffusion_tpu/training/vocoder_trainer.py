@@ -173,47 +173,78 @@ class VocoderTrainer:
         return val
 
     def fit(self, train_loader, max_steps: Optional[int] = None, resume=False,
-            valid_loader=None,
+            valid_loader=None, valid_every: Optional[int] = None,
             log_every: int = 10, save_every: int = 5000, seed: int = 42):
+        """Async feed (datasets/prefetch.py): collation + device_put run on
+        a feeder thread, the step counter is host-side, and metric reads
+        are deferred one log interval so the loop never syncs per step
+        (reference overlap: DataLoader workers, ``datasets/utils.py:13-34``).
+        """
+        from ..datasets.prefetch import DeferredLogger, DeviceFeeder
+
         max_steps = max_steps or self.config.trainer.get("max_steps", 1_000_000)
-        state = None
+        valid_every = valid_every or save_every
         rng = jax.random.PRNGKey(seed)
-        t_last = time.perf_counter()
 
-        while True:
-            for batch in train_loader:
-                clean = {
-                    "audio": jnp.asarray(batch["audio"]).reshape(
-                        len(batch["audio"]), -1
-                    ),
-                    "pitches": jnp.asarray(batch["pitches"]).reshape(
-                        len(batch["pitches"]), -1
-                    ),
-                }
-                if state is None:
-                    state = self.init_state(clean, seed)
-                    if resume and self.ckpt.latest_step() is not None:
-                        state = self.ckpt.restore(state)
+        def host_batches():
+            while True:
+                for batch in train_loader:
+                    yield {
+                        "audio": np.asarray(batch["audio"]).reshape(
+                            len(batch["audio"]), -1
+                        ),
+                        "pitches": np.asarray(batch["pitches"]).reshape(
+                            len(batch["pitches"]), -1
+                        ),
+                    }
 
-                sharded = make_global_batch(clean, self.mesh)
+        batches = host_batches()
+        first = next(batches)
+        state = self.init_state(first, seed)
+        if resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+        step = int(state.step)
+
+        t_emit = [time.perf_counter()]
+
+        def emit(s, scalars):
+            now = time.perf_counter()
+            scalars["steps_per_sec"] = log_every / max(now - t_emit[0], 1e-9)
+            t_emit[0] = now
+            self.logger.log_scalars(s, scalars)
+
+        dlog = DeferredLogger(emit)
+
+        import itertools
+
+        feeder = DeviceFeeder(
+            itertools.chain([first], batches),
+            put_fn=lambda b: make_global_batch(b, self.mesh),
+        )
+        last_metrics = {}
+        try:
+            for sharded in feeder:
                 state, metrics = self._train_step(state, sharded, rng)
+                last_metrics = metrics
+                step += 1
 
-                step = int(state.step)
                 if step % log_every == 0:
-                    now = time.perf_counter()
-                    self.logger.log_scalars(
-                        step,
-                        {
-                            **{k: float(v) for k, v in metrics.items()},
-                            "steps_per_sec": log_every / max(now - t_last, 1e-9),
-                        },
-                    )
-                    t_last = now
+                    dlog.push(step, metrics)
+
+                if valid_loader is not None and step % valid_every == 0:
+                    dlog.flush()
+                    self.validate(state, valid_loader, step)
+                    t_emit[0] = time.perf_counter()
 
                 if step % save_every == 0 or step >= max_steps:
-                    if valid_loader is not None:
-                        self.validate(state, valid_loader, step)
-                    self.ckpt.save(state, {k: float(v) for k, v in metrics.items()})
+                    dlog.flush()
+                    self.ckpt.save(
+                        state, {k: float(v) for k, v in last_metrics.items()}
+                    )
+                    t_emit[0] = time.perf_counter()
 
                 if step >= max_steps:
                     return state
+        finally:
+            dlog.flush()
+            feeder.close()

@@ -79,8 +79,9 @@ def run_vocoder(args):
     pitches_np = np.repeat(f0_np, hop, axis=1)  # sample-rate f0
 
     spe = args.n_samples // args.batch
-    trainer = VocoderTrainer(cfg, log_dir="logs/prove_vocoder",
-                             steps_per_epoch=spe)
+    log_dir = Path("logs/prove_vocoder")
+    (log_dir / "metrics.jsonl").unlink(missing_ok=True)  # fresh series
+    trainer = VocoderTrainer(cfg, log_dir=str(log_dir), steps_per_epoch=spe)
     # cap to requested steps via a bounded loader
     rng_np = np.random.default_rng(args.seed)
 
@@ -93,17 +94,28 @@ def run_vocoder(args):
                     sel = order[i * args.batch : (i + 1) * args.batch]
                     yield {"audio": audio_np[sel], "pitches": pitches_np[sel]}
 
+    # held-out audio for a val_mel_l1 series (VERDICT r2 next #8)
+    val_audio, val_f0 = synth_dataset(args.batch, segment, hop, sr, args.seed + 999)
+    val_pitches = np.repeat(val_f0, hop, axis=1)
+
+    class ValLoader:
+        def __iter__(self):
+            yield {"audio": val_audio, "pitches": val_pitches}
+
     state = trainer.fit(
         Loader(), max_steps=args.steps, log_every=args.log_every,
         save_every=args.steps,
+        valid_loader=ValLoader(), valid_every=args.val_every,
     )
 
     import json
 
-    rows = [
-        json.loads(l)
-        for l in open("logs/prove_vocoder/metrics.jsonl")
-        if '"loss_mel"' in l
+    all_rows = [json.loads(l) for l in open(log_dir / "metrics.jsonl")]
+    rows = [r for r in all_rows if "loss_mel" in r]
+    val_rows = [
+        {"step": r["step"], "val_mel_l1": r["valid_mel_l1"]}
+        for r in all_rows
+        if "valid_mel_l1" in r
     ]
     first = [r for r in rows if r["step"] <= args.steps // 5]
     last = [r for r in rows if r["step"] > 4 * args.steps // 5]
@@ -121,6 +133,9 @@ def run_vocoder(args):
         "loss_mel_last_fifth": float(np.mean([r["loss_mel"] for r in last])),
         "loss_d_first_fifth": float(np.mean([r["loss_d"] for r in first])),
         "loss_d_last_fifth": float(np.mean([r["loss_d"] for r in last])),
+        "val_mel_l1_first": val_rows[0]["val_mel_l1"] if val_rows else None,
+        "val_mel_l1_last": val_rows[-1]["val_mel_l1"] if val_rows else None,
+        "val_series": val_rows,
         "series": rows,
     }
     out = Path(args.out)
@@ -138,6 +153,7 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--n-samples", type=int, default=256)
     parser.add_argument("--log-every", type=int, default=25)
+    parser.add_argument("--val-every", type=int, default=200)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--out", default="docs/artifacts/gan_run_r02.json")
     parser.add_argument(
@@ -270,50 +286,126 @@ def main():
     print(f"[prove] init in {time.perf_counter() - t0:.1f}s; "
           f"G params {n_params_g / 1e6:.2f}M, D params {n_params_d / 1e6:.2f}M", flush=True)
 
+    # -- held-out validation (VERDICT r2 next #8: generalization evidence) ----
+    n_val = min(args.batch * 2, args.n_samples // 8)
+    val_audio, val_f0 = synth_dataset(n_val, segment, hop, sr, args.seed + 999)
+    val_contents = np.asarray(mel_fn(jnp.asarray(val_audio)))[:, :n_frames]
+    val_contents = (val_contents - contents_np.mean()) / (contents_np.std() + 1e-6)
+    val_speakers = rng_np.integers(
+        0, mc.speaker_encoder.get("input_size", 10), size=n_val
+    )
+    val_mel_tf = LogMelSpectrogram(sample_rate=sr, hop_length=hop, n_mels=128)
+
+    @jax.jit
+    def val_fn(params_g, batch, vrng):
+        y_hat = generator_apply(params_g, batch, vrng)
+        y = batch["audio"][:, : y_hat.shape[1]]
+        l1 = jnp.mean(
+            jnp.abs(val_mel_tf.wav2spec(y) - val_mel_tf.wav2spec(y_hat))
+        )
+        return l1, y_hat
+
+    val_batch = shard_batch(
+        {
+            "audio": jnp.asarray(val_audio[: args.batch]),
+            "contents": jnp.asarray(val_contents[: args.batch]),
+            "pitches": jnp.asarray(val_f0[: args.batch]),
+            "speaker": jnp.asarray(val_speakers[: args.batch]),
+        },
+        mesh,
+    )
+
     # -- loop ------------------------------------------------------------------
+    # async feed: a feeder thread dispatches device_puts for upcoming
+    # batches while the device runs the current step; the host never syncs
+    # except at (deferred) log points (datasets/prefetch.py)
+    from fish_diffusion_tpu.datasets.prefetch import DeviceFeeder
+
+    def host_batches():
+        order = np.arange(args.n_samples)
+        for step in range(1, args.steps + 1):
+            if (step - 1) % spe == 0:
+                rng_np.shuffle(order)
+            i = (step - 1) % spe
+            sel = order[i * args.batch : (i + 1) * args.batch]
+            yield {
+                "audio": audio_np[sel],
+                "contents": contents_np[sel],
+                "pitches": f0_np[sel],
+                "speaker": speakers_np[sel],
+            }
+
+    feeder = DeviceFeeder(
+        host_batches(),
+        put_fn=lambda b: shard_batch(
+            {k: jnp.asarray(v) for k, v in b.items()}, mesh
+        ),
+    )
+
     series = []
-    order = np.arange(args.n_samples)
+    val_series = []
     t_last = time.perf_counter()
     t_begin = t_last
-    pending = None  # (step, metrics) fetched one step late to stay async
-    for step in range(1, args.steps + 1):
-        if (step - 1) % spe == 0:
-            rng_np.shuffle(order)
-        sel = order[((step - 1) % spe) * args.batch : ((step - 1) % spe + 1) * args.batch]
-        batch = {
-            "audio": jnp.asarray(audio_np[sel]),
-            "contents": jnp.asarray(contents_np[sel]),
-            "pitches": jnp.asarray(f0_np[sel]),
-            "speaker": jnp.asarray(speakers_np[sel]),
-        }
-        state, metrics = step_fn(state, shard_batch(batch, mesh), rng)
+    pending = None  # (step, metrics) materialized one interval late
+    step = 0
+    wait_last = 0.0
+    for sharded in feeder:
+        step += 1
+        state, metrics = step_fn(state, sharded, rng)
 
-        if pending is not None:
+        if step % args.log_every == 0 and pending is not None:
             p_step, p_metrics = pending
+            row = {k: float(v) for k, v in p_metrics.items()}  # syncs p_step
             now = time.perf_counter()
-            row = {k: float(v) for k, v in p_metrics.items()}
+            wait_now = feeder.stats["host_wait_s"]
             row.update(
                 step=p_step,
                 lr=float(lr_fn(p_step)),
                 epoch=p_step // spe,
                 steps_per_sec=args.log_every / max(now - t_last, 1e-9),
+                host_wait_ms_per_step=1000
+                * (wait_now - wait_last)
+                / args.log_every,
             )
             series.append(row)
             print(
                 f"step {p_step:5d} ep {row['epoch']:3d} "
                 f"D {row['loss_d']:.4f} G {row['loss_g']:.3f} "
                 f"mel {row['loss_mel']:.4f} env {row['loss_env']:.4f} "
-                f"lr {row['lr']:.3e} {row['steps_per_sec']:.2f} it/s",
+                f"lr {row['lr']:.3e} {row['steps_per_sec']:.2f} it/s "
+                f"wait {row['host_wait_ms_per_step']:.0f}ms",
                 flush=True,
             )
             t_last = now
+            wait_last = wait_now
             pending = None
         if step % args.log_every == 0:
             pending = (step, metrics)
 
+        if step % args.val_every == 0 or step == args.steps:
+            l1, _ = val_fn(state.params_g, val_batch, jax.random.PRNGKey(0))
+            val_series.append({"step": step, "val_mel_l1": float(l1)})
+            print(
+                f"  [val] step {step} mel_l1 {val_series[-1]['val_mel_l1']:.4f}",
+                flush=True,
+            )
+            t_last = time.perf_counter()  # don't count val in steps/s
+
     elapsed = time.perf_counter() - t_begin
     first = [r for r in series if r["step"] <= args.steps // 5]
     last = [r for r in series if r["step"] > 4 * args.steps // 5]
+
+    # final val audio artifact (snippet + hash in the summary)
+    import hashlib
+
+    _, y_hat_val = val_fn(state.params_g, val_batch, jax.random.PRNGKey(0))
+    snippet = np.asarray(y_hat_val[0], np.float32)
+    out_wav = Path(args.out).with_suffix(".val_pred.wav")
+    out_wav.parent.mkdir(parents=True, exist_ok=True)
+    from fish_diffusion_tpu.utils.audio import save_wav
+
+    save_wav(out_wav, snippet, sr)
+    wav_sha = hashlib.sha256(out_wav.read_bytes()).hexdigest()[:16]
 
     def avg(rows, k):
         return float(np.mean([r[k] for r in rows])) if rows else float("nan")
@@ -340,6 +432,14 @@ def main():
         "loss_d_first_fifth": avg(first, "loss_d"),
         "loss_d_last_fifth": avg(last, "loss_d"),
         "lr_final": series[-1]["lr"] if series else None,
+        "host_wait_ms_per_step_steady": avg(
+            series[len(series) // 2 :], "host_wait_ms_per_step"
+        ),
+        "val_mel_l1_first": val_series[0]["val_mel_l1"] if val_series else None,
+        "val_mel_l1_last": val_series[-1]["val_mel_l1"] if val_series else None,
+        "val_pred_wav": str(out_wav),
+        "val_pred_wav_sha256_16": wav_sha,
+        "val_series": val_series,
         "series": series,
     }
     out = Path(args.out)
