@@ -24,11 +24,22 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: the adversarial-step probes compile large
+# XLA programs (~10 min cold); cached re-runs take seconds
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
+except Exception:
+    pass
 
 
 def main():

@@ -127,6 +127,15 @@ def _dio_candidates(
     nfft = 1 << int(math.ceil(math.log2(T + max_len)))
     X = jnp.fft.rfft(x, n=nfft)
 
+    # frame RMS for the silence gate (pyworld has no explicit gate — its
+    # event lists degenerate on noise; our filter bank instead *resonates*
+    # on noise, so quiet frames must be masked explicitly)
+    frame_idx = jnp.minimum(
+        centers[:, None] + jnp.arange(hop_length)[None, :] - hop_length // 2,
+        T - 1,
+    )
+    frame_rms = jnp.sqrt(jnp.mean(x[jnp.maximum(frame_idx, 0)] ** 2, axis=1))
+
     cands, costs = [], []
     for cutoff in cutoffs:
         h = _nuttall_lowpass(cutoff, sr)
@@ -144,6 +153,10 @@ def _dio_candidates(
             ]
         )  # [4, T]
         ests_f = ests[:, centers]  # [4, F]
+        # a frame center landing exactly on an event sample reads 0 from
+        # that estimator; the neighbor sample carries the interval
+        ests_n = ests[:, jnp.minimum(centers + 1, T - 1)]
+        ests_f = jnp.where(ests_f > 0, ests_f, ests_n)
 
         mean = ests_f.mean(axis=0)
         spread = jnp.sqrt(
@@ -159,17 +172,26 @@ def _dio_candidates(
             jnp.where(ok, spread / jnp.maximum(mean, 1e-6), jnp.inf)
         )
 
-    return jnp.stack(cands), jnp.stack(costs), centers
+    return jnp.stack(cands), jnp.stack(costs), frame_rms
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _dio_select(cands, costs, stability_threshold=0.12, fix_range=0.15):
-    """DIO stage 4: best channel per frame + FixF0Contour-style cleanup."""
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _dio_select(
+    cands, costs, frame_rms,
+    stability_threshold=0.12, fix_range=0.15, silence_threshold=0.005,
+):
+    """DIO stage 4: best channel per frame + FixF0Contour-style cleanup +
+    silence gate (see ``_dio_candidates``)."""
     best = jnp.argmin(costs, axis=0)
     idx = jnp.arange(cands.shape[1])
     f0 = cands[best, idx]
     cost = costs[best, idx]
-    f0 = jnp.where(jnp.isfinite(cost) & (cost < stability_threshold), f0, 0.0)
+    voiced = (
+        jnp.isfinite(cost)
+        & (cost < stability_threshold)
+        & (frame_rms > silence_threshold)
+    )
+    f0 = jnp.where(voiced, f0, 0.0)
 
     # fix step: a voiced frame must agree with its 3-frame median within
     # fix_range (removes isolated octave spikes, pyworld FixStep1/2 spirit)
@@ -229,6 +251,11 @@ def _stonemask_refine(
             yi = (dwx * s).sum(axis=1)
             power = xr * xr + xi * xi
             if_hz = (xr * yi - xi * yr) / (2 * jnp.pi * jnp.maximum(power, 1e-12))
+            # jnp.gradient's centered difference attenuates a tone's
+            # derivative by sinc(w*dt) (~-5 cents on upper harmonics);
+            # correct at the evaluation frequency
+            wdt = 2 * jnp.pi * fk / sr
+            if_hz = if_hz * wdt / jnp.sin(jnp.minimum(wdt, 3.0))
             amp = jnp.sqrt(jnp.maximum(power, 0.0))
             valid = fk < (0.5 * sr)
             amp = jnp.where(valid, amp, 0.0)
@@ -262,14 +289,14 @@ class DioPitchExtractor(BasePitchExtractor):
 
     def __call__(self, x, sampling_rate=44100, pad_to=None):
         x = jnp.asarray(x, jnp.float32).reshape(-1)
-        cands, costs, _ = _dio_candidates(
+        cands, costs, frame_rms = _dio_candidates(
             x,
             int(sampling_rate),
             self.hop_length,
             float(self.f0_min),
             float(self.f0_max),
         )
-        f0 = _dio_select(cands, costs)
+        f0 = _dio_select(cands, costs, frame_rms)
         if self.use_stonemask:
             f0 = _stonemask_refine(
                 x, int(sampling_rate), f0, self.hop_length, float(self.f0_min)

@@ -134,6 +134,66 @@ def blocked_apply_2d(
     return yb
 
 
+def blocked_apply_grouped(
+    x, taps, bias, k: int, stride: int, groups: int, s_in: int, dtype
+):
+    """Grouped 1-D conv with time folded into the per-group contraction.
+
+    A grouped conv's MXU problem is different from the small-channel one:
+    total channels may be large (128-1024) but the *per-group* contraction
+    (``Cin/g`` = 8-64 here) starves the systolic array, and XLA's TPU
+    lowering of ``feature_group_count`` pays for it (measured: the MSD's
+    k=41 grouped layers run 3-6x below the dense-layer FLOP rate).
+    Folding ``s_in`` samples into each group's channel dim (group-major
+    layout ``[B, T/s, G * s_in*Cg]``) and scattering the taps into a
+    block-Toeplitz grouped kernel lifts the per-group contraction to
+    ``s_in*Cg >= 128`` lanes. Measured wins on the MSD layers: 1.28x /
+    1.42x / 1.34x (L1/L2/L5); the already-wide layers lose to the FLOP
+    blowup and stay plain.
+
+    x ``[B, T, C]``, taps ``[k, C/g, Cout]`` (plain grouped-conv params),
+    pad = k//2 (same semantics as the plain layer). Returns
+    ``[B, T/stride, Cout]`` with channels in plain (g, cg) order.
+    """
+    b, t, c = x.shape
+    cout = taps.shape[2]
+    cg_in, cg_out = c // groups, cout // groups
+    s_out = max(s_in // stride, 1)
+    if stride == 1:
+        triples = conv_triples(k, 1, s_in, pad=k // 2)
+    else:
+        triples = strided_triples(k, stride, k // 2, s_out)
+    qs = [m // s_in for (_, m, _) in triples]
+    qmin, qmax = min(qs), max(qs)
+    kb = qmax - qmin + 1
+    q_i = np.asarray([m // s_in - qmin for (_, m, _) in triples], np.int32)
+    j_i = np.asarray([m % s_in for (_, m, _) in triples], np.int32)
+    n_i = np.asarray([n for (n, _, _) in triples], np.int32)
+    w_i = np.asarray([w for (_, _, w) in triples], np.int32)
+
+    wg = taps.reshape(k, cg_in, groups, cg_out)
+    wb = jnp.zeros((kb, s_in, cg_in, groups, s_out, cg_out), taps.dtype)
+    wb = wb.at[q_i, j_i, :, :, n_i, :].add(wg[w_i])
+    wb = wb.reshape(kb, s_in * cg_in, groups * s_out * cg_out)
+
+    nb = t // s_in
+    xb = x.reshape(b, nb, s_in, groups, cg_in).transpose(0, 1, 3, 2, 4)
+    xb = xb.reshape(b, nb, groups * s_in * cg_in)
+    yb = jax.lax.conv_general_dilated(
+        xb.astype(dtype),
+        wb.astype(dtype),
+        window_strides=(1,),
+        padding=[(-qmin, qmax)],
+        feature_group_count=groups,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    y = yb.reshape(b, nb, groups, s_out, cg_out).transpose(0, 1, 3, 2, 4)
+    y = y.reshape(b, nb * s_out, cout)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class ConvParams(nn.Module):
     """Parameter container matching ``nn.Conv``'s tree (kernel + bias).
 

@@ -250,6 +250,43 @@ class TestDiscriminatorGradientSafety:
         assert bool(jnp.isfinite(g).all()), "NaN grad at silent input"
 
 
+class TestBlockedMSD:
+    """Blocked grouped DiscriminatorS (blocked=True, the default) == plain:
+    same param tree, same scores/fmaps — incl. the odd-length pooled
+    scales (T/2+1) that exercise the pad-and-trim path."""
+
+    @pytest.mark.parametrize("t_wav", [8192, 4097])
+    def test_blocked_matches_plain(self, t_wav):
+        import jax.tree_util as jtu
+
+        from fish_diffusion_tpu.models.discriminators import DiscriminatorS
+
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, t_wav)) * 0.1,
+            jnp.float32,
+        )
+        dp = DiscriminatorS(blocked=False)
+        db = DiscriminatorS(blocked=True)
+        v = jax.jit(dp.init)(jax.random.PRNGKey(0), x)
+        vb = jax.eval_shape(lambda: db.init(jax.random.PRNGKey(0), x))
+        assert jtu.tree_structure(v) == jtu.tree_structure(vb)
+        assert all(
+            a.shape == b.shape
+            for a, b in zip(jtu.tree_leaves(v), jtu.tree_leaves(vb))
+        )
+
+        s0, f0 = jax.jit(dp.apply)(v, x)
+        s1, f1 = jax.jit(db.apply)(v, x)
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), atol=2e-5, rtol=1e-4
+        )
+        for a, b in zip(f0, f1):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+            )
+
+
 class TestBlockedMRD:
     """Space-to-depth DiscriminatorR (blocked=True, the default) ==
     plain path: same param tree, same scores and fmaps."""

@@ -92,14 +92,21 @@ def main():
         YinPitchExtractor,
     )
 
+    from fish_diffusion_tpu.extractors.pitch import PyinPitchExtractor
+    from fish_diffusion_tpu.extractors.world import DioPitchExtractor
+
     extractors = {
-        "ACF argmax (Harvest/Dio alias)": AutocorrPitchExtractor(
+        "ACF argmax": AutocorrPitchExtractor(
             keep_zeros=True, use_viterbi=False
         ),
-        "ACF Viterbi (ParselMouth alias)": AutocorrPitchExtractor(
+        "ACF Viterbi (ParselMouth)": AutocorrPitchExtractor(
             keep_zeros=True, use_viterbi=True
         ),
-        "YIN (Pyin alias)": YinPitchExtractor(keep_zeros=True),
+        "YIN": YinPitchExtractor(keep_zeros=True),
+        "DIO+StoneMask (Harvest/Dio, native)": DioPitchExtractor(
+            keep_zeros=True
+        ),
+        "pYIN HMM (Pyin, native)": PyinPitchExtractor(keep_zeros=True),
     }
     if args.crepe_checkpoint:
         from fish_diffusion_tpu.extractors.crepe import CrepePitchExtractor
