@@ -12,10 +12,14 @@ Reported fields (VERDICT r1 weak #4 asked for unambiguous semantics):
 - ``b1_latency_ms_3s_clip``: batch=1 wall-clock to synthesize one 3-second
   clip (256 frames) — the realtime VST/TCP serving number.
 - ``train_mel_frames_per_sec_per_chip``: diffusion training throughput.
-- ``gan_*`` / ``vocoder_*``: GAN training throughput, read from the committed
-  ``docs/artifacts/{gan,vocoder}_run_r02.json`` proof-run artifacts (the
-  adversarial step takes minutes to compile, so it is not re-run here every
-  round; re-generate with ``tools/hifisinger/prove_training.py``).
+- ``gan_steps_per_sec_probe`` / ``vocoder_steps_per_sec_probe``: LIVE
+  ~25-step probes of both adversarial training regimes, measured at bench
+  time so regressions cannot hide behind artifact replay (VERDICT r2 #3).
+  Cold-compile of these steps is ~10 min; a warm ``/tmp/jax_cache`` (set
+  below) makes re-runs fast.
+- ``gan_*`` / ``vocoder_*`` (other fields): sustained-run numbers replayed
+  from the latest committed ``docs/artifacts/{gan,vocoder}_run_r*.json``
+  proof artifacts (re-generate with ``tools/hifisinger/prove_training.py``).
 
 The torch reference publishes no numbers (SURVEY.md §6); vs_baseline is RTF
 relative to real-time (1.0 = real-time synthesis).

@@ -411,6 +411,28 @@ class Trainer:
 
     # -- validation -------------------------------------------------------
 
+    import functools as _functools
+
+    @_functools.partial(jax.jit, static_argnums=0)
+    def _val_loss_fn(self, params, batch):
+        """Jitted per-bucket-shape validation loss (eager model.apply
+        executes op-by-op over a remote-device tunnel)."""
+        out = self.model.apply(
+            {"params": params},
+            **_model_kwargs(batch),
+            rngs={"diffusion": jax.random.PRNGKey(0)},
+        )
+        return out["loss"]
+
+    @_functools.partial(jax.jit, static_argnums=0)
+    def _sample_fn(self, params, kwargs):
+        return self.model.apply(
+            {"params": params},
+            **kwargs,
+            method=self.model.sample,
+            rngs={"diffusion": jax.random.PRNGKey(1)},
+        )
+
     def validate(self, state, valid_loader, step: int) -> float:
         """Loss over the valid set; full reverse diffusion + artifacts only
         on the first batch. ``trainer.limit_val_batches`` caps the loop
@@ -430,12 +452,7 @@ class Trainer:
             clean = _clean_batch(batch)
             jb = {k: jnp.asarray(v) for k, v in clean.items()}
 
-            out = self.model.apply(
-                {"params": params},
-                **_model_kwargs(jb),
-                rngs={"diffusion": jax.random.PRNGKey(0)},
-            )
-            losses.append(float(out["loss"]))
+            losses.append(float(self._val_loss_fn(params, jb)))
 
             if first:
                 first = False
@@ -461,12 +478,7 @@ class Trainer:
 
         kwargs = _model_kwargs(jb)
         mel_target = kwargs.pop("mel")
-        pred = self.model.apply(
-            {"params": params},
-            **kwargs,
-            method=self.model.sample,
-            rngs={"diffusion": jax.random.PRNGKey(1)},
-        )
+        pred = self._sample_fn(params, kwargs)
 
         mel_lens = np.asarray(
             jb.get("mel_lens", jnp.full((pred.shape[0],), pred.shape[1]))

@@ -9,6 +9,7 @@ the jitted two-player step in ``training/gan.py``. The vocoder consumes
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Optional
@@ -139,33 +140,37 @@ class VocoderTrainer:
             self.tx_d,
         )
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _val_fn(self, params_g, audio, pitches):
+        """One jitted program per val batch shape: synthesize + mel-L1.
+        (Eager validation executes op-by-op over a remote-device tunnel —
+        it cost minutes per pass before this was jitted.)"""
+        y_hat = self.generator_apply(
+            params_g, {"audio": audio, "pitches": pitches}, jax.random.PRNGKey(0)
+        )
+        n = min(audio.shape[1], y_hat.shape[1])
+        mel_gt = self.mel_transform.wav2spec(audio[:, :n])
+        mel_hat = self.mel_transform.wav2spec(y_hat[:, :n])
+        return jnp.mean(jnp.abs(mel_gt - mel_hat)), y_hat[0, :n], audio[0, :n]
+
     def validate(self, state, valid_loader, step: int):
         """Mel-L1 on the valid set + a gt/pred audio artifact (reference
         vocoder trainers log reconstruction audio per validation)."""
-        import jax
-
         losses = []
         first = True
         for batch in valid_loader:
             audio = jnp.asarray(batch["audio"]).reshape(len(batch["audio"]), -1)
             pitches = jnp.asarray(batch["pitches"]).reshape(audio.shape[0], -1)
-            y_hat = self.generator_apply(
-                state.params_g,
-                {"audio": audio, "pitches": pitches},
-                jax.random.PRNGKey(0),
-            )
-            n = min(audio.shape[1], y_hat.shape[1])
-            mel_gt = self.mel_transform.wav2spec(audio[:, :n])
-            mel_hat = self.mel_transform.wav2spec(y_hat[:, :n])
-            losses.append(float(jnp.mean(jnp.abs(mel_gt - mel_hat))))
+            l1, y_hat0, audio0 = self._val_fn(state.params_g, audio, pitches)
+            losses.append(float(l1))
 
             if first:
                 first = False
                 self.logger.log_audio(
-                    step, "val/gt", np.asarray(audio[0, :n]), self.sampling_rate
+                    step, "val/gt", np.asarray(audio0), self.sampling_rate
                 )
                 self.logger.log_audio(
-                    step, "val/pred", np.asarray(y_hat[0, :n]), self.sampling_rate
+                    step, "val/pred", np.asarray(y_hat0), self.sampling_rate
                 )
 
         val = float(np.mean(losses)) if losses else float("nan")
