@@ -119,6 +119,31 @@ class TestTrainerLoop:
         state2 = trainer2.fit(train_loader, valid_loader, resume=True)
         assert int(state2.step) == 5
 
+    def test_fit_with_f16_transfer(self, tmp_path):
+        """trainer.transfer_dtype='float16' halves H2D bytes (tunnel-bound
+        hosts); the step must accept f16 inputs and produce finite loss."""
+        import json
+
+        from fish_diffusion_tpu.datasets import build_loader_from_config
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        cfg = tiny_config(tmp_path)
+        cfg.trainer["transfer_dtype"] = "float16"
+        log_dir = tmp_path / "logs_f16"
+
+        trainer = Trainer(cfg, log_dir=str(log_dir))
+        train_loader, valid_loader = build_loader_from_config(
+            cfg, trainer.n_devices
+        )
+        state = trainer.fit(train_loader, valid_loader)
+        assert int(state.step) == 3
+        rows = [
+            json.loads(l)
+            for l in (log_dir / "metrics.jsonl").read_text().splitlines()
+        ]
+        losses = [r["train_loss"] for r in rows if "train_loss" in r]
+        assert losses and all(np.isfinite(v) for v in losses)
+
     def test_pretrained_surgery_shape_mismatch(self, tmp_path):
         """Speaker table with different speaker count is skipped, rest load."""
         from fish_diffusion_tpu.datasets import build_loader_from_config

@@ -81,6 +81,9 @@ dataloader = dict(
     train=dict(batch_size=20, shuffle=True, num_workers=1),
     valid=dict(batch_size=4, shuffle=False, num_workers=1),
 )
+# halve H2D bytes: the dev tunnel (~50 MB/s) is the bottleneck for
+# batch-20 diffusion batches (~20 MB); production links don't need this
+trainer = dict(transfer_dtype="float16")
 """
     )
     return cfg_file
@@ -107,9 +110,9 @@ def run_phase(cfg, log_dir, max_steps, val_interval, resume):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps1", type=int, default=20000)
-    parser.add_argument("--steps2", type=int, default=50000)
-    parser.add_argument("--val-interval", type=int, default=10000)
+    parser.add_argument("--steps1", type=int, default=4000)
+    parser.add_argument("--steps2", type=int, default=9000)
+    parser.add_argument("--val-interval", type=int, default=1500)
     parser.add_argument("--log-dir", default="logs/soak_r03")
     parser.add_argument("--data-dir", default="/tmp/soak_data")
     parser.add_argument("--out", default="docs/artifacts/soak_run_r03.json")
