@@ -462,7 +462,8 @@ class ParselMouthPitchExtractor(AutocorrPitchExtractor):
     (the praat/parselmouth C library is replaced by the batched ACF above)."""
 
 
-# Harvest/Dio live in extractors/world.py now (native DIO + StoneMask).
+# Harvest/Dio live in extractors/world.py now (native Harvest and native
+# DIO + StoneMask — the real pyworld algorithms, vectorized).
 # CrepePitchExtractor is a real flax port of the CREPE net — see
 # extractors/crepe.py (it registers itself under the reference name).
 

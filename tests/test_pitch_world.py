@@ -93,6 +93,47 @@ class TestDio:
         assert isinstance(ex2, DioPitchExtractor)
 
 
+class TestHarvest:
+    """Native Harvest (band-pass candidate maps + IF refinement + contour
+    Viterbi) — pyworld ``pw.harvest`` (reference
+    ``modules/pitch_extractors/world.py:8-22``)."""
+
+    def test_steady_tone_subcent(self):
+        truth = np.full(120, 220.0, np.float32)
+        f0 = HarvestPitchExtractor()(_tone(truth), SR, pad_to=len(truth))
+        c = _cents(np.asarray(f0), truth)
+        assert c.mean() < 1.0, c.mean()
+
+    def test_high_pitch_no_subharmonic(self):
+        """640 Hz: the channel-energy gate must reject noise-resonance
+        candidates and the contour Viterbi must not ride a subharmonic."""
+        truth = np.full(120, 640.0, np.float32)
+        f0 = HarvestPitchExtractor()(_tone(truth), SR, pad_to=len(truth))
+        c = _cents(np.asarray(f0), truth)
+        assert c.mean() < 5.0, c.mean()
+
+    def test_vibrato_tracking(self):
+        n = 120
+        t = np.arange(n)
+        truth = (
+            294.0 * 2 ** ((30 / 1200) * np.sin(2 * np.pi * 5 * t * HOP / SR))
+        ).astype(np.float32)
+        f0 = HarvestPitchExtractor()(_tone(truth), SR, pad_to=n)
+        c = _cents(np.asarray(f0), truth)
+        assert c.mean() < 10.0, c.mean()
+
+    def test_silence_is_unvoiced(self):
+        truth = np.full(120, 250.0, np.float32)
+        truth[:25] = 0.0
+        truth[60:80] = 0.0
+        f0 = np.asarray(
+            HarvestPitchExtractor()(_tone(truth), SR, pad_to=120)
+        )
+        assert (f0[2:22] == 0).mean() > 0.8
+        assert (f0[63:77] == 0).mean() > 0.8
+        assert (f0[30:55] > 0).mean() > 0.8
+
+
 class TestPyin:
     def test_steady_tone_accuracy(self):
         truth = np.full(120, 220.0, np.float32)

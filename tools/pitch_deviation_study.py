@@ -93,7 +93,10 @@ def main():
     )
 
     from fish_diffusion_tpu.extractors.pitch import PyinPitchExtractor
-    from fish_diffusion_tpu.extractors.world import DioPitchExtractor
+    from fish_diffusion_tpu.extractors.world import (
+        DioPitchExtractor,
+        HarvestPitchExtractor,
+    )
 
     extractors = {
         "ACF argmax": AutocorrPitchExtractor(
@@ -103,9 +106,10 @@ def main():
             keep_zeros=True, use_viterbi=True
         ),
         "YIN": YinPitchExtractor(keep_zeros=True),
-        "DIO+StoneMask (Harvest/Dio, native)": DioPitchExtractor(
+        "DIO+StoneMask (Dio, native)": DioPitchExtractor(
             keep_zeros=True
         ),
+        "Harvest (native)": HarvestPitchExtractor(keep_zeros=True),
         "pYIN HMM (Pyin, native)": PyinPitchExtractor(keep_zeros=True),
     }
     if args.crepe_checkpoint:
