@@ -11,6 +11,10 @@ Reported fields (VERDICT r1 weak #4 asked for unambiguous semantics):
 - ``batch_sweep``: aggregate + per-stream RTF at batch 1 / 4 / 16.
 - ``b1_latency_ms_3s_clip``: batch=1 wall-clock to synthesize one 3-second
   clip (256 frames) — the realtime VST/TCP serving number.
+- ``shallow_rtf_aggregate`` / ``shallow_b1_latency_ms_3s_clip``: the
+  shallow-diffusion fast path (skip_steps=970, sampler_interval=5 -> 6
+  denoiser evals over an existing mel — the reference's documented
+  low-latency recipe, BASELINE.md).
 - ``train_mel_frames_per_sec_per_chip``: diffusion training throughput.
 - ``gan_steps_per_sec_probe`` / ``vocoder_steps_per_sec_probe``: LIVE
   ~25-step probes of both adversarial training regimes, measured at bench
@@ -192,6 +196,54 @@ def main():
     lat = time_e2e(1, LAT_FRAMES, 20)
     b1_latency_ms = 1000.0 * lat["sec_per_clip"]
 
+    # shallow-diffusion fast path (reference docs/pages/quality.md command
+    # block: skip_steps=970 + sampler_interval=5 -> 6 denoiser evals,
+    # refining an existing mel — the documented low-latency serving recipe)
+    @jax.jit
+    def e2e_shallow(params, voc_params, batch, rng):
+        mel = model.apply(
+            {"params": params},
+            speakers=batch["speakers"],
+            contents=batch["contents"],
+            pitches=batch["pitches"],
+            method=model.sample,
+            sampler_interval=5,
+            skip_steps=970,
+            original_mel=batch["mel"],
+            rngs={"diffusion": rng},
+        )
+        wav = vocoder.generator.apply(
+            {"params": voc_params},
+            0.434294 * mel,
+            batch["pitches"],
+            rngs={"noise": jax.random.fold_in(rng, 1)},
+        )
+        return jnp.sum(wav.astype(jnp.float32))
+
+    def time_shallow(b, frames, n_iters, warmup=6):
+        bt = make_batch(b, frames)
+        for i in range(warmup):
+            checksum = e2e_shallow(
+                params, voc_params, bt, jax.random.PRNGKey(10 + i)
+            )
+        assert np.isfinite(float(checksum))
+        start = time.perf_counter()
+        for i in range(n_iters):
+            checksum = e2e_shallow(
+                params, voc_params, bt, jax.random.PRNGKey(100 + i)
+            )
+        _ = float(checksum)
+        elapsed = time.perf_counter() - start
+        return n_iters * b * frames * HOP / SR / elapsed
+
+    shallow = {
+        "shallow_rtf_aggregate": round(time_shallow(BATCH, FRAMES, 10), 1),
+        "shallow_b1_latency_ms_3s_clip": round(
+            1000.0 * 1 * LAT_FRAMES * HOP / SR / time_shallow(1, LAT_FRAMES, 20),
+            1,
+        ),
+    }
+
     train_fps = _bench_training()
 
     gan = {}
@@ -251,6 +303,7 @@ def main():
                     for k, v in sweep.items()
                 },
                 "train_mel_frames_per_sec_per_chip": round(train_fps, 1),
+                **shallow,
                 **gan,
                 "denoiser_evals": 100,
                 "batch": BATCH,
