@@ -348,20 +348,36 @@ class Trainer:
         # here moves ~50 MB/s; a batch-20 diffusion batch is ~20 MB).
         # f16's 10-bit mantissa is ample for mel/content features.
         transfer_dtype = self.config.trainer.get("transfer_dtype")
+        # trainer.cache_batches_on_device: replay epoch-1 device batches
+        # from HBM for all later epochs (CachedDeviceFeeder docstring has
+        # the semantics/memory contract). The big lever when host->device
+        # bandwidth, not compute, bounds sustained throughput.
+        cache_on_device = self.config.trainer.get(
+            "cache_batches_on_device", False
+        )
+
+        def _clean(batch):
+            clean = {}
+            for k, v in _clean_batch(batch).items():
+                arr = np.asarray(v)
+                if transfer_dtype and arr.dtype == np.float32:
+                    arr = arr.astype(transfer_dtype)
+                clean[k] = arr
+            return clean
+
+        def one_epoch():
+            for batch in train_loader:
+                yield _clean(batch)
 
         def host_batches():
             while max_epochs is None or self._epoch < max_epochs:
                 self._epoch += 1
-                for batch in train_loader:
-                    clean = {}
-                    for k, v in _clean_batch(batch).items():
-                        arr = np.asarray(v)
-                        if transfer_dtype and arr.dtype == np.float32:
-                            arr = arr.astype(transfer_dtype)
-                        clean[k] = arr
-                    yield clean
+                yield from one_epoch()
 
-        batches = host_batches()
+        if cache_on_device:
+            batches = one_epoch()
+        else:
+            batches = host_batches()
         first = next(batches, None)
         if first is None:
             return None
@@ -383,10 +399,24 @@ class Trainer:
             self.logger.log_scalars(s, scalars)
 
         dlog = DeferredLogger(emit)
-        feeder = DeviceFeeder(
-            itertools.chain([first], batches),
-            put_fn=lambda b: make_global_batch(b, self.mesh),
-        )
+        put_fn = lambda b: make_global_batch(b, self.mesh)
+        if cache_on_device:
+            from ..datasets.prefetch import CachedDeviceFeeder
+
+            def _set_epoch(e):
+                self._epoch = e
+
+            feeder = CachedDeviceFeeder(
+                itertools.chain([first], batches),
+                put_fn=put_fn,
+                epochs=max_epochs,
+                seed=seed + 977,
+                on_epoch=_set_epoch,
+            )
+        else:
+            feeder = DeviceFeeder(
+                itertools.chain([first], batches), put_fn=put_fn
+            )
         try:
             for sharded in feeder:
                 state, metrics = self._train_step(state, sharded, rng)
@@ -412,6 +442,9 @@ class Trainer:
                     return state
         finally:
             dlog.flush()
+            # input-pipeline attribution (host_wait/put for DeviceFeeder,
+            # cache_bytes/replays for CachedDeviceFeeder) for soak artifacts
+            self.last_feeder_stats = dict(getattr(feeder, "stats", {}))
             feeder.close()
 
         # max_epochs exhausted: final validation + checkpoint

@@ -99,3 +99,57 @@ class TestDeferredLogger:
         dlog.push(1, {"a": np.float32(1.5)}, extra={"lr": 0.1})
         dlog.flush()
         assert emitted == {"a": 1.5, "lr": 0.1}
+
+
+class TestCachedDeviceFeeder:
+    """CachedDeviceFeeder: epoch-1 pass-through + zero-transfer replay."""
+
+    def _run(self, n_batches=5, epochs=3, seed=0):
+        from fish_diffusion_tpu.datasets.prefetch import CachedDeviceFeeder
+
+        puts = []
+
+        def put(b):
+            puts.append(b["x"][0])
+            return {k: v.copy() for k, v in b.items()}
+
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(n_batches)]
+        feeder = CachedDeviceFeeder(iter(batches), put, epochs=epochs, seed=seed)
+        out = [b["x"][0] for b in feeder]
+        return puts, out, feeder
+
+    def test_put_called_only_first_epoch(self):
+        puts, out, feeder = self._run(n_batches=5, epochs=4)
+        assert len(puts) == 5  # one H2D dispatch per batch, ever
+        assert len(out) == 5 * 4
+        assert feeder.stats["replayed_batches"] == 5 * 3
+        assert feeder.stats["cache_batches"] == 5
+        assert feeder.stats["cache_bytes"] == 5 * 2 * 4
+
+    def test_first_epoch_order_then_permuted_replay(self):
+        puts, out, _ = self._run(n_batches=6, epochs=3, seed=7)
+        assert out[:6] == list(range(6))  # epoch 1 in stream order
+        for e in range(1, 3):  # each replay epoch covers every batch once
+            assert sorted(out[6 * e : 6 * (e + 1)]) == list(range(6))
+        assert out[6:12] != list(range(6)) or out[12:18] != list(range(6))
+
+    def test_epoch_callback_and_endless(self):
+        from itertools import islice
+
+        from fish_diffusion_tpu.datasets.prefetch import CachedDeviceFeeder
+
+        epochs_seen = []
+        feeder = CachedDeviceFeeder(
+            iter([{"x": np.zeros(1)} for _ in range(2)]),
+            epochs=None,
+            on_epoch=epochs_seen.append,
+        )
+        out = list(islice(iter(feeder), 9))  # endless: take 4.5 epochs
+        assert len(out) == 9
+        assert epochs_seen[:5] == [1, 2, 3, 4, 5]
+        feeder.close()
+
+    def test_empty_stream(self):
+        from fish_diffusion_tpu.datasets.prefetch import CachedDeviceFeeder
+
+        assert list(CachedDeviceFeeder(iter([]), epochs=3)) == []

@@ -144,6 +144,45 @@ class TestTrainerLoop:
         losses = [r["train_loss"] for r in rows if "train_loss" in r]
         assert losses and all(np.isfinite(v) for v in losses)
 
+    def test_fit_with_device_batch_cache(self, tmp_path, monkeypatch):
+        """trainer.cache_batches_on_device: epoch 1 transfers, later
+        epochs replay HBM-resident batches — make_global_batch must run
+        exactly once per unique batch, while training still reaches
+        max_steps across epochs with finite loss."""
+        import json
+
+        import fish_diffusion_tpu.training.trainer as trainer_mod
+        from fish_diffusion_tpu.datasets import build_loader_from_config
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        cfg = tiny_config(tmp_path, n=8)  # batch 8 -> 1 batch/epoch
+        cfg.trainer["cache_batches_on_device"] = True
+        cfg.trainer["max_steps"] = 6
+        cfg.trainer["val_check_interval"] = 6
+        log_dir = tmp_path / "logs_cache"
+
+        real_put = trainer_mod.make_global_batch
+        calls = []
+        monkeypatch.setattr(
+            trainer_mod,
+            "make_global_batch",
+            lambda b, mesh: (calls.append(1), real_put(b, mesh))[1],
+        )
+
+        trainer = Trainer(cfg, log_dir=str(log_dir))
+        train_loader, valid_loader = build_loader_from_config(
+            cfg, trainer.n_devices
+        )
+        state = trainer.fit(train_loader, valid_loader)
+        assert int(state.step) == 6  # 6 epochs x 1 batch
+        assert len(calls) == 1  # H2D happened once, 5 epochs replayed
+        rows = [
+            json.loads(l)
+            for l in (log_dir / "metrics.jsonl").read_text().splitlines()
+        ]
+        losses = [r["train_loss"] for r in rows if "train_loss" in r]
+        assert losses and all(np.isfinite(v) for v in losses)
+
     def test_pretrained_surgery_shape_mismatch(self, tmp_path):
         """Speaker table with different speaker count is skipped, rest load."""
         from fish_diffusion_tpu.datasets import build_loader_from_config

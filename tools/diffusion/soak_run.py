@@ -89,8 +89,8 @@ trainer = dict(transfer_dtype="float16")
     return cfg_file
 
 
-def run_phase(cfg, log_dir, max_steps, val_interval, resume):
-    """One fit() invocation; returns (state, wall_seconds)."""
+def run_phase(cfg, log_dir, max_steps, val_interval, resume, cache=False):
+    """One fit() invocation; returns (state, wall_seconds, feeder_stats)."""
     from fish_diffusion_tpu.datasets.loader import build_loader_from_config
     from fish_diffusion_tpu.training.trainer import Trainer
 
@@ -98,6 +98,8 @@ def run_phase(cfg, log_dir, max_steps, val_interval, resume):
     cfg.trainer["val_check_interval"] = val_interval
     cfg.trainer["log_every_n_steps"] = 50
     cfg.trainer["limit_val_batches"] = 2
+    if cache:
+        cfg.trainer["cache_batches_on_device"] = True
 
     trainer = Trainer(cfg, log_dir=str(log_dir))
     train_loader, valid_loader = build_loader_from_config(
@@ -105,7 +107,8 @@ def run_phase(cfg, log_dir, max_steps, val_interval, resume):
     )
     t0 = time.perf_counter()
     state = trainer.fit(train_loader, valid_loader, resume=resume)
-    return state, time.perf_counter() - t0
+    stats = getattr(trainer, "last_feeder_stats", {})
+    return state, time.perf_counter() - t0, stats
 
 
 def main():
@@ -118,6 +121,9 @@ def main():
     parser.add_argument("--out", default="docs/artifacts/soak_run_r03.json")
     parser.add_argument("--fresh", action="store_true",
                         help="wipe log dir (checkpoints + metrics) first")
+    parser.add_argument("--cache", action="store_true",
+                        help="trainer.cache_batches_on_device: replay "
+                        "epoch-1 HBM batches, zero steady-state H2D")
     args = parser.parse_args()
 
     import jax
@@ -136,32 +142,46 @@ def main():
     # phase 1: cold start
     cfg = Config.fromfile(str(cfg_file))
     print(f"[soak] phase 1 -> step {args.steps1}", flush=True)
-    state1, wall1 = run_phase(
-        cfg, log_dir, args.steps1, args.val_interval, resume=False
+    state1, wall1, stats1 = run_phase(
+        cfg, log_dir, args.steps1, args.val_interval, resume=False,
+        cache=args.cache,
     )
     step1 = int(state1.step)
-    print(f"[soak] phase 1 done at step {step1} in {wall1:.0f}s", flush=True)
+    print(f"[soak] phase 1 done at step {step1} in {wall1:.0f}s "
+          f"feeder={stats1}", flush=True)
     del state1
 
     # phase 2: fresh Trainer object, resume from latest checkpoint
     cfg = Config.fromfile(str(cfg_file))
     print(f"[soak] phase 2 (RESUME) -> step {args.steps2}", flush=True)
-    state2, wall2 = run_phase(
-        cfg, log_dir, args.steps2, args.val_interval, resume=True
+    state2, wall2, stats2 = run_phase(
+        cfg, log_dir, args.steps2, args.val_interval, resume=True,
+        cache=args.cache,
     )
     step2 = int(state2.step)
-    print(f"[soak] phase 2 done at step {step2} in {wall2:.0f}s", flush=True)
+    print(f"[soak] phase 2 done at step {step2} in {wall2:.0f}s "
+          f"feeder={stats2}", flush=True)
 
-    # summarize from the metrics log
+    # summarize from the metrics log. NB: the logged ``steps_per_sec``
+    # field is the host DISPATCH rate per interval — with the async feeder
+    # the host runs ahead of the device and only syncs at validation
+    # flushes, so per-interval values are meaningless (hundreds right
+    # before a sync, tiny at the sync). True sustained throughput is
+    # step-count over wall-clock between log timestamps.
     rows = [json.loads(l) for l in open(log_dir / "metrics.jsonl")]
     train_rows = [r for r in rows if "train_loss" in r]
     val_rows = [r for r in rows if "valid_loss" in r]
-    sps = [r["steps_per_sec"] for r in train_rows if "steps_per_sec" in r]
+    steps_arr = np.array([r["step"] for r in train_rows], dtype=float)
+    times_arr = np.array([r["time"] for r in train_rows], dtype=float)
+    keep = np.diff(steps_arr) > 0  # resume restarts the step counter log
+    sps = (np.diff(steps_arr)[keep] / np.diff(times_arr)[keep]).tolist()
     frames_per_step = 20 * 512  # batch x bucketed frames (approximate)
 
     summary = {
         "platform": jax.devices()[0].platform,
         "model": "svc_hubert_soft (WaveNet 20x512, full size)",
+        "cache_batches_on_device": bool(args.cache),
+        "feeder_stats_phase2": stats2,
         "phase1_steps": step1,
         "phase2_steps": step2,
         "resumed_at_step": step1,
@@ -181,9 +201,15 @@ def main():
         "train_loss_first": train_rows[0]["train_loss"] if train_rows else None,
         "train_loss_last": train_rows[-1]["train_loss"] if train_rows else None,
         "steps_per_sec_series": [
-            {"step": r["step"], "steps_per_sec": r["steps_per_sec"]}
-            for r in train_rows
-            if "steps_per_sec" in r
+            {
+                "step": int(steps_arr[i + 1]),
+                "steps_per_sec": float(
+                    (steps_arr[i + 1] - steps_arr[i])
+                    / max(times_arr[i + 1] - times_arr[i], 1e-9)
+                ),
+            }
+            for i in range(len(steps_arr) - 1)
+            if steps_arr[i + 1] > steps_arr[i]
         ][::4],
     }
     out = Path(args.out)
