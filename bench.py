@@ -260,6 +260,23 @@ def main():
 
     import glob
 
+    # sustained diffusion-training replay: the cached-soak artifact is the
+    # full-stack number (loader -> HBM batch cache -> validation +
+    # checkpointing in the loop), complementing the isolated-step probe in
+    # train_mel_frames_per_sec_per_chip
+    try:
+        path = sorted(glob.glob("docs/artifacts/soak_cached_r*.json"))[-1]
+        with open(path) as f:
+            s = json.load(f)
+        gan["train_sustained_steps_per_sec"] = round(
+            s["steps_per_sec_median"], 2
+        )
+        gan["train_sustained_mel_frames_per_sec"] = round(
+            s["approx_mel_frames_per_sec"], 1
+        )
+    except Exception:
+        pass
+
     for prefix, pattern in (
         ("gan", "docs/artifacts/gan_run_r*.json"),
         ("vocoder", "docs/artifacts/vocoder_run_r*.json"),
