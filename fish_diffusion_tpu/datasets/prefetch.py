@@ -87,7 +87,17 @@ class DeviceFeeder:
 
     def __next__(self):
         t0 = time.perf_counter()
-        item = self._q.get()
+        while True:
+            # after close() the producer exits without enqueuing the
+            # sentinel and the queue is drained — an untimed get() would
+            # hang forever, so poll the stop flag
+            if self._stop.is_set():
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                continue
         self.stats["host_wait_s"] += time.perf_counter() - t0
         if item is _SENTINEL:
             if self._err is not None:
@@ -157,6 +167,7 @@ class CachedDeviceFeeder:
         self._epochs = epochs
         self._seed = seed
         self._on_epoch = on_epoch
+        self._started = False
         self.stats = {"replayed_batches": 0, "cache_batches": 0,
                       "cache_bytes": 0}
 
@@ -190,6 +201,14 @@ class CachedDeviceFeeder:
                 yield cache[i]
 
     def __iter__(self):
+        # single-use: the inner DeviceFeeder and the cache belong to the
+        # first iterator; a second would silently yield nothing
+        if self._started:
+            raise RuntimeError(
+                "CachedDeviceFeeder is single-use; construct a new one "
+                "per fit()"
+            )
+        self._started = True
         return self._iter()
 
     def close(self):

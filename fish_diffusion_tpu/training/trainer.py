@@ -389,14 +389,34 @@ class Trainer:
         step = int(state.step)
 
         t_emit = [time.perf_counter()]
+        last_emit_step = [step]
 
         def emit(s, scalars):
+            # numerator = true step delta: the first emit after a
+            # validation spans more than one log interval
             now = time.perf_counter()
-            scalars["steps_per_sec"] = self.log_every_n_steps / max(
+            scalars["steps_per_sec"] = max(s - last_emit_step[0], 1) / max(
                 now - t_emit[0], 1e-9
             )
+            last_emit_step[0] = s
             t_emit[0] = now
             self.logger.log_scalars(s, scalars)
+
+        # lr schedules are jnp-based (optax traces them inside the jitted
+        # update); evaluating one eagerly on the accelerator would enqueue
+        # a tiny program behind the whole dispatched step backlog and
+        # float() would sync on it. Pin the informational lr read to the
+        # host CPU backend instead.
+        try:
+            _host_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            _host_dev = None
+
+        def host_lr(s):
+            if _host_dev is None:
+                return float(self.lr_schedule(s))
+            with jax.default_device(_host_dev):
+                return float(self.lr_schedule(s))
 
         dlog = DeferredLogger(emit)
         put_fn = lambda b: make_global_batch(b, self.mesh)
@@ -429,7 +449,7 @@ class Trainer:
                     dlog.push(
                         step,
                         named,
-                        extra={"lr": float(self.lr_schedule(step))},
+                        extra={"lr": host_lr(step)},
                     )
 
                 if step % self.val_check_interval == 0 or step >= self.max_steps:
@@ -437,6 +457,7 @@ class Trainer:
                     val_loss = self.validate(state, valid_loader, step)
                     self.ckpt.save(state, {"valid_loss": val_loss})
                     t_emit[0] = time.perf_counter()
+                    last_emit_step[0] = step
 
                 if step >= self.max_steps:
                     return state

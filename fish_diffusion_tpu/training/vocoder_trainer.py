@@ -204,17 +204,25 @@ class VocoderTrainer:
                     }
 
         batches = host_batches()
-        first = next(batches)
+        first = next(batches, None)
+        if first is None:
+            return None
         state = self.init_state(first, seed)
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
         step = int(state.step)
 
         t_emit = [time.perf_counter()]
+        last_emit_step = [step]
 
         def emit(s, scalars):
+            # numerator = true step delta: after a validation/checkpoint
+            # the elapsed window spans more than one log interval
             now = time.perf_counter()
-            scalars["steps_per_sec"] = log_every / max(now - t_emit[0], 1e-9)
+            scalars["steps_per_sec"] = max(s - last_emit_step[0], 1) / max(
+                now - t_emit[0], 1e-9
+            )
+            last_emit_step[0] = s
             t_emit[0] = now
             self.logger.log_scalars(s, scalars)
 
@@ -236,10 +244,13 @@ class VocoderTrainer:
                 if step % log_every == 0:
                     dlog.push(step, metrics)
 
-                if valid_loader is not None and step % valid_every == 0:
+                if valid_loader is not None and (
+                    step % valid_every == 0 or step >= max_steps
+                ):
                     dlog.flush()
                     self.validate(state, valid_loader, step)
                     t_emit[0] = time.perf_counter()
+                    last_emit_step[0] = step
 
                 if step % save_every == 0 or step >= max_steps:
                     dlog.flush()
@@ -247,6 +258,7 @@ class VocoderTrainer:
                         state, {k: float(v) for k, v in last_metrics.items()}
                     )
                     t_emit[0] = time.perf_counter()
+                    last_emit_step[0] = step
 
                 if step >= max_steps:
                     return state

@@ -139,6 +139,13 @@ def main():
 
     print(f"[soak] platform={jax.devices()[0].platform}", flush=True)
 
+    # rows already in metrics.jsonl (append-mode log) belong to previous
+    # runs — remember the offset so the summary only reads this run's
+    metrics_path = log_dir / "metrics.jsonl"
+    n_preexisting = (
+        sum(1 for _ in open(metrics_path)) if metrics_path.exists() else 0
+    )
+
     # phase 1: cold start
     cfg = Config.fromfile(str(cfg_file))
     print(f"[soak] phase 1 -> step {args.steps1}", flush=True)
@@ -168,13 +175,21 @@ def main():
     # flushes, so per-interval values are meaningless (hundreds right
     # before a sync, tiny at the sync). True sustained throughput is
     # step-count over wall-clock between log timestamps.
-    rows = [json.loads(l) for l in open(log_dir / "metrics.jsonl")]
+    rows = [
+        json.loads(l)
+        for l in list(open(log_dir / "metrics.jsonl"))[n_preexisting:]
+    ]
     train_rows = [r for r in rows if "train_loss" in r]
     val_rows = [r for r in rows if "valid_loss" in r]
     steps_arr = np.array([r["step"] for r in train_rows], dtype=float)
     times_arr = np.array([r["time"] for r in train_rows], dtype=float)
+    dt = np.diff(times_arr)
     keep = np.diff(steps_arr) > 0  # resume restarts the step counter log
-    sps = (np.diff(steps_arr)[keep] / np.diff(times_arr)[keep]).tolist()
+    if keep.any():
+        # drop the phase-1 -> phase-2 boundary interval: its wall time
+        # spans process restart + recompile, not training
+        keep &= dt <= 10.0 * float(np.median(dt[keep]))
+    sps = (np.diff(steps_arr)[keep] / dt[keep]).tolist()
     frames_per_step = 20 * 512  # batch x bucketed frames (approximate)
 
     summary = {

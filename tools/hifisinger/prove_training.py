@@ -248,6 +248,21 @@ def main():
         sched_cfg, dict(cfg.optimizer).get("lr", 1.0), steps_per_epoch=spe
     )
 
+    # the schedule is jnp-based (optax traces it inside the jitted update);
+    # evaluating it eagerly on the TPU would enqueue a tiny program behind
+    # the dispatched step backlog and float() would sync on it — pin the
+    # informational lr read to the host CPU backend
+    try:
+        _host_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        _host_dev = None
+
+    def host_lr(s):
+        if _host_dev is None:
+            return float(lr_fn(s))
+        with jax.default_device(_host_dev):
+            return float(lr_fn(s))
+
     mesh = make_mesh()
     step_fn = make_gan_train_step(
         generator_apply,
@@ -360,7 +375,7 @@ def main():
             wait_now = feeder.stats["host_wait_s"]
             row.update(
                 step=p_step,
-                lr=float(lr_fn(p_step)),
+                lr=host_lr(p_step),
                 epoch=p_step // spe,
                 steps_per_sec=args.log_every / max(now - t_last, 1e-9),
                 host_wait_ms_per_step=1000
