@@ -372,7 +372,12 @@ class Trainer:
         def host_batches():
             while max_epochs is None or self._epoch < max_epochs:
                 self._epoch += 1
-                yield from one_epoch()
+                produced = False
+                for b in one_epoch():
+                    produced = True
+                    yield b
+                if not produced:  # empty loader: stop, don't spin forever
+                    return
 
         if cache_on_device:
             batches = one_epoch()

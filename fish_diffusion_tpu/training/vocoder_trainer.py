@@ -193,7 +193,9 @@ class VocoderTrainer:
 
         def host_batches():
             while True:
+                produced = False
                 for batch in train_loader:
+                    produced = True
                     yield {
                         "audio": np.asarray(batch["audio"]).reshape(
                             len(batch["audio"]), -1
@@ -202,6 +204,8 @@ class VocoderTrainer:
                             len(batch["pitches"]), -1
                         ),
                     }
+                if not produced:  # empty loader: stop, don't spin forever
+                    return
 
         batches = host_batches()
         first = next(batches, None)

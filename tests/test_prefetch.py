@@ -79,6 +79,23 @@ class TestDeviceFeeder:
         list(feeder)
         assert feeder.stats["batches"] == 5
 
+    def test_next_after_close_raises_promptly(self):
+        # close() lets the producer exit WITHOUT enqueuing the sentinel;
+        # a subsequent next() must raise StopIteration, not hang forever
+        def gen():
+            while True:
+                yield {"x": 0}
+
+        feeder = DeviceFeeder(gen(), depth=1)
+        it = iter(feeder)
+        next(it)
+        feeder.close()
+        t0 = time.time()
+        with pytest.raises(StopIteration):
+            for _ in range(10):  # drain whatever was already queued
+                next(it)
+        assert time.time() - t0 < 5
+
 
 class TestDeferredLogger:
     def test_one_interval_late(self):
@@ -153,3 +170,15 @@ class TestCachedDeviceFeeder:
         from fish_diffusion_tpu.datasets.prefetch import CachedDeviceFeeder
 
         assert list(CachedDeviceFeeder(iter([]), epochs=3)) == []
+
+    def test_single_use(self):
+        # the cache belongs to the first iterator; a second fit() over the
+        # same feeder would silently yield nothing — must raise instead
+        from fish_diffusion_tpu.datasets.prefetch import CachedDeviceFeeder
+
+        feeder = CachedDeviceFeeder(
+            iter([{"x": np.zeros(1)}]), epochs=2
+        )
+        assert len(list(feeder)) == 2
+        with pytest.raises(RuntimeError, match="single-use"):
+            iter(feeder)

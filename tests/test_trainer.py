@@ -1,6 +1,8 @@
 """Trainer loop smoke tests on the virtual mesh: fit a few steps, validate,
 checkpoint, restore-resume. Plus the GAN v1 (MPD+MSD) flavor step."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -118,6 +120,16 @@ class TestTrainerLoop:
         trainer2.max_steps = 5
         state2 = trainer2.fit(train_loader, valid_loader, resume=True)
         assert int(state2.step) == 5
+
+    def test_fit_empty_loader_returns_none(self, tmp_path):
+        # an empty loader must return None promptly, not spin forever in
+        # the epoch-cycling generator (regression: host_batches busy-loop)
+        from fish_diffusion_tpu.training.trainer import Trainer
+
+        trainer = Trainer(tiny_config(tmp_path), log_dir=str(tmp_path / "l"))
+        t0 = time.time()
+        assert trainer.fit([], []) is None
+        assert time.time() - t0 < 30
 
     def test_fit_with_f16_transfer(self, tmp_path):
         """trainer.transfer_dtype='float16' halves H2D bytes (tunnel-bound
