@@ -168,8 +168,12 @@ class CachedDeviceFeeder:
         self._seed = seed
         self._on_epoch = on_epoch
         self._started = False
-        self.stats = {"replayed_batches": 0, "cache_batches": 0,
-                      "cache_bytes": 0}
+        # share the inner feeder's dict so consumers can read epoch-1
+        # host_wait_s/put_s/batches alongside the replay counters
+        self.stats = self._feeder.stats
+        self.stats.update(
+            {"replayed_batches": 0, "cache_batches": 0, "cache_bytes": 0}
+        )
 
     def _iter(self):
         import numpy as np

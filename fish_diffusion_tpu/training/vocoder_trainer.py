@@ -179,35 +179,54 @@ class VocoderTrainer:
 
     def fit(self, train_loader, max_steps: Optional[int] = None, resume=False,
             valid_loader=None, valid_every: Optional[int] = None,
-            log_every: int = 10, save_every: int = 5000, seed: int = 42):
+            log_every: int = 10, save_every: int = 5000, seed: int = 42,
+            cache_batches: Optional[bool] = None):
         """Async feed (datasets/prefetch.py): collation + device_put run on
         a feeder thread, the step counter is host-side, and metric reads
         are deferred one log interval so the loop never syncs per step
         (reference overlap: DataLoader workers, ``datasets/utils.py:13-34``).
+
+        ``cache_batches`` (or ``trainer.cache_batches_on_device`` in the
+        config) keeps epoch-1 device batches resident in HBM and replays
+        them permuted for later epochs — zero steady-state H2D, same
+        trade-offs as the diffusion Trainer's cache (CachedDeviceFeeder
+        docstring).
         """
-        from ..datasets.prefetch import DeferredLogger, DeviceFeeder
+        from ..datasets.prefetch import (
+            CachedDeviceFeeder,
+            DeferredLogger,
+            DeviceFeeder,
+        )
 
         max_steps = max_steps or self.config.trainer.get("max_steps", 1_000_000)
         valid_every = valid_every or save_every
         rng = jax.random.PRNGKey(seed)
+        if cache_batches is None:
+            cache_batches = bool(
+                self.config.trainer.get("cache_batches_on_device", False)
+            )
+
+        def one_epoch():
+            for batch in train_loader:
+                yield {
+                    "audio": np.asarray(batch["audio"]).reshape(
+                        len(batch["audio"]), -1
+                    ),
+                    "pitches": np.asarray(batch["pitches"]).reshape(
+                        len(batch["pitches"]), -1
+                    ),
+                }
 
         def host_batches():
             while True:
                 produced = False
-                for batch in train_loader:
+                for b in one_epoch():
                     produced = True
-                    yield {
-                        "audio": np.asarray(batch["audio"]).reshape(
-                            len(batch["audio"]), -1
-                        ),
-                        "pitches": np.asarray(batch["pitches"]).reshape(
-                            len(batch["pitches"]), -1
-                        ),
-                    }
+                    yield b
                 if not produced:  # empty loader: stop, don't spin forever
                     return
 
-        batches = host_batches()
+        batches = one_epoch() if cache_batches else host_batches()
         first = next(batches, None)
         if first is None:
             return None
@@ -234,10 +253,18 @@ class VocoderTrainer:
 
         import itertools
 
-        feeder = DeviceFeeder(
-            itertools.chain([first], batches),
-            put_fn=lambda b: make_global_batch(b, self.mesh),
-        )
+        put_fn = lambda b: make_global_batch(b, self.mesh)
+        if cache_batches:
+            feeder = CachedDeviceFeeder(
+                itertools.chain([first], batches),
+                put_fn=put_fn,
+                epochs=None,  # loop below terminates at max_steps
+                seed=seed + 977,
+            )
+        else:
+            feeder = DeviceFeeder(
+                itertools.chain([first], batches), put_fn=put_fn
+            )
         last_metrics = {}
         try:
             for sharded in feeder:

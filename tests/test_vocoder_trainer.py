@@ -100,6 +100,25 @@ def test_fit_final_step_validation_and_checkpoint(trainer_cls, tmp_path):
     assert any("valid_mel_l1" in r for r in rows)
 
 
+def test_fit_with_device_batch_cache(trainer_cls, tmp_path):
+    # epoch 1 streams 2 batches, steps 3-6 replay HBM handles
+    mesh = make_mesh(
+        axis_shapes=(1,), axis_names=("data",), devices=jax.devices()[:1]
+    )
+    trainer = trainer_cls(_tiny_config(), log_dir=str(tmp_path), mesh=mesh)
+    state = trainer.fit(
+        _loader(), max_steps=6, log_every=2, save_every=6, cache_batches=True
+    )
+    assert int(state.step) == 6
+    rows = [
+        json.loads(l) for l in open(Path(tmp_path) / "metrics.jsonl")
+    ]
+    train_rows = [r for r in rows if "loss_g" in r]
+    assert train_rows and all(
+        np.isfinite(r["loss_g"]) for r in train_rows
+    )
+
+
 def test_fit_empty_loader_returns_none(trainer_cls, tmp_path):
     mesh = make_mesh(
         axis_shapes=(1,), axis_names=("data",), devices=jax.devices()[:1]

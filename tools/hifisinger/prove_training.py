@@ -86,13 +86,14 @@ def run_vocoder(args):
     rng_np = np.random.default_rng(args.seed)
 
     class Loader:
+        # one epoch per __iter__: fit() cycles epochs itself, and the
+        # device batch cache needs a bounded first epoch
         def __iter__(self):
             order = np.arange(args.n_samples)
-            while True:
-                rng_np.shuffle(order)
-                for i in range(spe):
-                    sel = order[i * args.batch : (i + 1) * args.batch]
-                    yield {"audio": audio_np[sel], "pitches": pitches_np[sel]}
+            rng_np.shuffle(order)
+            for i in range(spe):
+                sel = order[i * args.batch : (i + 1) * args.batch]
+                yield {"audio": audio_np[sel], "pitches": pitches_np[sel]}
 
     # held-out audio for a val_mel_l1 series (VERDICT r2 next #8)
     val_audio, val_f0 = synth_dataset(args.batch, segment, hop, sr, args.seed + 999)
@@ -106,6 +107,7 @@ def run_vocoder(args):
         Loader(), max_steps=args.steps, log_every=args.log_every,
         save_every=args.steps,
         valid_loader=ValLoader(), valid_every=args.val_every,
+        cache_batches=args.cache_batches,
     )
 
     import json
@@ -135,6 +137,7 @@ def run_vocoder(args):
         "loss_d_last_fifth": float(np.mean([r["loss_d"] for r in last])),
         "val_mel_l1_first": val_rows[0]["val_mel_l1"] if val_rows else None,
         "val_mel_l1_last": val_rows[-1]["val_mel_l1"] if val_rows else None,
+        "cache_batches_on_device": bool(args.cache_batches),
         "val_series": val_rows,
         "series": rows,
     }
@@ -156,6 +159,13 @@ def main():
     parser.add_argument("--val-every", type=int, default=200)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--out", default="docs/artifacts/gan_run_r02.json")
+    parser.add_argument(
+        "--cache-batches",
+        action="store_true",
+        help="keep epoch-1 device batches resident in HBM and replay them "
+        "(permuted) for later epochs — zero steady-state H2D over the "
+        "host tunnel (datasets/prefetch.py:CachedDeviceFeeder)",
+    )
     parser.add_argument(
         "--regime",
         default="hifisinger",
@@ -333,8 +343,14 @@ def main():
     # -- loop ------------------------------------------------------------------
     # async feed: a feeder thread dispatches device_puts for upcoming
     # batches while the device runs the current step; the host never syncs
-    # except at (deferred) log points (datasets/prefetch.py)
-    from fish_diffusion_tpu.datasets.prefetch import DeviceFeeder
+    # except at (deferred) log points (datasets/prefetch.py). With
+    # --cache-batches the collated epoch lives in HBM after epoch 1 and
+    # later epochs replay device handles with zero H2D (the tunnel-bound
+    # ~50 ms/step transfer wait in gan_run_r03.json disappears).
+    from fish_diffusion_tpu.datasets.prefetch import (
+        CachedDeviceFeeder,
+        DeviceFeeder,
+    )
 
     def host_batches():
         order = np.arange(args.n_samples)
@@ -350,12 +366,27 @@ def main():
                 "speaker": speakers_np[sel],
             }
 
-    feeder = DeviceFeeder(
-        host_batches(),
-        put_fn=lambda b: shard_batch(
-            {k: jnp.asarray(v) for k, v in b.items()}, mesh
-        ),
+    def one_epoch():
+        order = np.arange(args.n_samples)
+        rng_np.shuffle(order)
+        for i in range(spe):
+            sel = order[i * args.batch : (i + 1) * args.batch]
+            yield {
+                "audio": audio_np[sel],
+                "contents": contents_np[sel],
+                "pitches": f0_np[sel],
+                "speaker": speakers_np[sel],
+            }
+
+    put_fn = lambda b: shard_batch(
+        {k: jnp.asarray(v) for k, v in b.items()}, mesh
     )
+    if args.cache_batches:
+        feeder = CachedDeviceFeeder(
+            one_epoch(), put_fn=put_fn, epochs=None, seed=args.seed
+        )
+    else:
+        feeder = DeviceFeeder(host_batches(), put_fn=put_fn)
 
     series = []
     val_series = []
@@ -365,6 +396,8 @@ def main():
     step = 0
     wait_last = 0.0
     for sharded in feeder:
+        if step >= args.steps:  # cached feeder is endless
+            break
         step += 1
         state, metrics = step_fn(state, sharded, rng)
 
@@ -406,6 +439,7 @@ def main():
             )
             t_last = time.perf_counter()  # don't count val in steps/s
 
+    feeder.close()
     elapsed = time.perf_counter() - t_begin
     first = [r for r in series if r["step"] <= args.steps // 5]
     last = [r for r in series if r["step"] > 4 * args.steps // 5]
@@ -454,6 +488,8 @@ def main():
         "val_mel_l1_last": val_series[-1]["val_mel_l1"] if val_series else None,
         "val_pred_wav": str(out_wav),
         "val_pred_wav_sha256_16": wav_sha,
+        "cache_batches_on_device": bool(args.cache_batches),
+        "cache_bytes": int(feeder.stats.get("cache_bytes", 0)),
         "val_series": val_series,
         "series": series,
     }
