@@ -247,6 +247,10 @@ def main():
     train_fps = _bench_training()
 
     gan = {}
+    try:
+        gan.update(_bench_preprocess())
+    except Exception as e:
+        gan["preprocess_probe_error"] = str(e)[:200]
     # live ~30-step probes of both adversarial regimes (VERDICT r2 next #3:
     # BENCH must catch regressions in the GAN/vocoder step, not replay them)
     try:
@@ -328,6 +332,82 @@ def main():
             }
         )
     )
+
+
+def _bench_preprocess(seconds: int = 10, iters: int = 10):
+    """On-device preprocessing stack throughput (the reference fans out
+    subprocesses per GPU for this, ``tools/preprocessing/extract_features
+    .py:262-308``; here the extractors are jitted XLA programs).
+
+    Measures, per 10 s 44.1 kHz clip: log-mel (STFT-as-GEMM), HuBERT-soft
+    content features (random weights — cost model identical), and the
+    native Harvest pitch estimator. Returns audio-seconds processed per
+    wall-clock second for each stage and the serial pipeline total.
+
+    Timing methodology: the big outputs (HuBERT [256, T] / mel [128, T])
+    are reduced to a scalar on device before the host read, so the ~30
+    MB/s dev tunnel is not measured (see time_e2e note); the pitch curve
+    itself is tiny (~3 KB) and timed end-to-end including post-processing.
+    """
+    import fish_diffusion_tpu.extractors  # noqa: F401
+    from fish_diffusion_tpu.ops.mel import LogMelSpectrogram
+    from fish_diffusion_tpu.registry import FEATURE_EXTRACTORS, PITCH_EXTRACTORS
+
+    sr = 44100
+    n = sr * seconds
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / sr
+    f0 = 220.0 * (1 + 0.05 * np.sin(2 * np.pi * 5 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    audio = sum((0.5 / k) * np.sin(k * phase) for k in range(1, 6))
+    audio = (audio + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+    out = {}
+
+    mel_t = LogMelSpectrogram(
+        sample_rate=sr, n_mels=128, hop_length=512, use_natural_log=False
+    )
+    mel_sum = jax.jit(lambda a: jnp.sum(mel_t.wav2spec(a)))
+    a_dev = jnp.asarray(audio)[None]
+    for _ in range(3):
+        s = mel_sum(a_dev)
+    assert np.isfinite(float(s))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = mel_sum(a_dev)
+    _ = float(s)
+    dt_mel = (time.perf_counter() - t0) / iters
+    out["preprocess_mel_rtf"] = round(seconds / dt_mel, 1)
+
+    hubert = FEATURE_EXTRACTORS.build(dict(type="HubertSoft", random_init=True))
+    a16 = jnp.asarray(hubert.preprocess(audio, sr))[None]
+    hub_sum = jax.jit(lambda p, a: jnp.sum(hubert._forward_impl(p, a)))
+    for _ in range(3):
+        s = hub_sum(hubert.params, a16)
+    assert np.isfinite(float(s))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = hub_sum(hubert.params, a16)
+    _ = float(s)
+    dt_hub = (time.perf_counter() - t0) / iters
+    out["preprocess_hubert_rtf"] = round(seconds / dt_hub, 1)
+
+    pitch = PITCH_EXTRACTORS.build(
+        dict(type="HarvestPitchExtractor", keep_zeros=False)
+    )
+    for _ in range(2):
+        f = pitch(audio, sr)
+    assert np.isfinite(np.asarray(f)).all()
+    t0 = time.perf_counter()
+    for _ in range(max(iters // 2, 3)):
+        f = pitch(audio, sr)
+    dt_pitch = (time.perf_counter() - t0) / max(iters // 2, 3)
+    out["preprocess_harvest_rtf"] = round(seconds / dt_pitch, 1)
+
+    out["preprocess_audio_sec_per_sec"] = round(
+        seconds / (dt_mel + dt_hub + dt_pitch), 1
+    )
+    return out
 
 
 def _bench_gan_probe(steps: int = 25, warmup: int = 5, batch: int = 8):

@@ -124,6 +124,14 @@ def build_loader_from_config(cfg, num_devices: int = 1):
 
     train_dataset = DATASETS.build(dict(cfg.dataset.train))
     train_cfg = dict(cfg.dataloader.train)
+    global_bs = train_cfg.get("batch_size", 1)
+    if num_devices > 1 and global_bs % num_devices:
+        raise ValueError(
+            f"dataloader.train.batch_size={global_bs} must be divisible by "
+            f"the {num_devices}-device data-parallel mesh (each device takes "
+            f"batch/num_devices rows); raise the batch size or set "
+            f"trainer.devices=1"
+        )
     if jax.process_count() > 1:
         global_bs = train_cfg.get("batch_size", 1)
         assert global_bs % jax.process_count() == 0, (

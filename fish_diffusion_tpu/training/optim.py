@@ -54,7 +54,10 @@ def cosine_schedule(lr_min: float, lr_max: float, max_decay_steps: int):
 
 
 @LR_SCHEDULERS.register_module(name="StepLR")
-def step_schedule(base_lr: float, step_size: int, gamma: float = 0.1):
+def step_schedule(step_size: int, gamma: float = 0.1, base_lr: float = 1.0):
+    # torch.optim.lr_scheduler.StepLR has no base_lr arg — the factor starts
+    # at 1 and the optimizer lr multiplies in (build_lr_schedule); base_lr
+    # stays overridable for LambdaLR-style configs that set it explicitly.
     def schedule(step):
         return base_lr * gamma ** jnp.floor(
             jnp.asarray(step, jnp.float32) / step_size
@@ -64,7 +67,7 @@ def step_schedule(base_lr: float, step_size: int, gamma: float = 0.1):
 
 
 @LR_SCHEDULERS.register_module(name="ExponentialLR")
-def exponential_schedule(base_lr: float, gamma: float):
+def exponential_schedule(gamma: float, base_lr: float = 1.0):
     def schedule(step):
         return base_lr * gamma ** jnp.asarray(step, jnp.float32)
 
