@@ -51,6 +51,28 @@ from .pitch import BasePitchExtractor
 _N_EVENT_TYPES = 4
 
 
+def _decimation_factor(sr: int, f0_max: float, hop_length: int) -> int:
+    """Largest power-of-two decimation for the candidate stage.
+
+    pyworld decimates before its candidate stages (``dio.cpp`` /
+    ``harvest.cpp`` both run on a reduced-rate waveform) because event
+    intervals only need resolution up to ``f0_max`` — full precision comes
+    from the full-rate instantaneous-frequency refinement afterwards. We
+    keep ≥6 samples per period of the highest channel (sub-sample event
+    interpolation stays well inside the ±10 % candidate gates) and require
+    the decimated rate and hop to stay integral so frame centers map
+    exactly.
+    """
+    d = 1
+    while (
+        sr % (2 * d) == 0
+        and hop_length % (2 * d) == 0
+        and sr / (2 * d) >= max(4000.0, 6.0 * f0_max)
+    ):
+        d *= 2
+    return d
+
+
 def _cummax(x, reverse=False):
     return jax.lax.associative_scan(jnp.maximum, x, reverse=reverse)
 
@@ -109,11 +131,22 @@ def _dio_candidates(
     """DIO stages 1-3: filter bank -> event intervals -> per-frame
     (candidate, spread) per channel.
 
+    Runs on a band-limited decimated waveform (see ``_decimation_factor``;
+    pyworld's DIO likewise decimates before its candidate stage) — the
+    decimation is exact rfft truncation of the one signal FFT we already
+    compute, so it is free.
+
     Returns (cands [C, F], costs [C, F], centers [F]).
     """
     T = x.shape[0]
     n_frames = T // hop_length + 1
     centers = jnp.minimum(jnp.arange(n_frames) * hop_length, T - 1)
+
+    D = _decimation_factor(sr, f0_max, hop_length)
+    sr_d = sr // D
+    T_d = -(-T // D)
+    hop_d = hop_length // D
+    centers_d = jnp.minimum(jnp.arange(n_frames) * hop_d, T_d - 1)
 
     n_ch = max(
         1,
@@ -123,10 +156,12 @@ def _dio_candidates(
         f0_min * 2.0 ** ((i + 1) / channels_in_octave) for i in range(n_ch)
     ]
 
-    # one FFT of the signal, all channel filters applied in frequency space
-    max_len = max(2 * int(round(2.0 * sr / c)) + 1 for c in cutoffs)
-    nfft = 1 << int(math.ceil(math.log2(T + max_len)))
-    X = jnp.fft.rfft(x, n=nfft)
+    # one FFT of the signal; channel filters (designed at the decimated
+    # rate) applied in frequency space on the truncated spectrum
+    max_len = max(2 * int(round(2.0 * sr_d / c)) + 1 for c in cutoffs)
+    nfft_d = 1 << int(math.ceil(math.log2(T_d + max_len)))
+    X = jnp.fft.rfft(x, n=nfft_d * D)
+    X_d = X[: nfft_d // 2 + 1] / D  # exact band-limited decimation
 
     # frame RMS for the silence gate (pyworld has no explicit gate — its
     # event lists degenerate on noise; our filter bank instead *resonates*
@@ -139,24 +174,24 @@ def _dio_candidates(
 
     cands, costs = [], []
     for cutoff in cutoffs:
-        h = _nuttall_lowpass(cutoff, sr)
+        h = _nuttall_lowpass(cutoff, sr_d)
         half = (len(h) - 1) // 2
-        H = jnp.fft.rfft(jnp.asarray(h), n=nfft)
-        y = jnp.fft.irfft(X * H, n=nfft)[half : half + T]
+        H = jnp.fft.rfft(jnp.asarray(h), n=nfft_d)
+        y = jnp.fft.irfft(X_d * H, n=nfft_d)[half : half + T_d]
         dy = jnp.diff(y, append=y[-1:])
 
         ests = jnp.stack(
             [
-                _interval_f0(y, sr),  # zero crossings up
-                _interval_f0(-y, sr),  # zero crossings down
-                _interval_f0(dy, sr),  # dips (derivative up-crossings)
-                _interval_f0(-dy, sr),  # peaks
+                _interval_f0(y, sr_d),  # zero crossings up
+                _interval_f0(-y, sr_d),  # zero crossings down
+                _interval_f0(dy, sr_d),  # dips (derivative up-crossings)
+                _interval_f0(-dy, sr_d),  # peaks
             ]
-        )  # [4, T]
-        ests_f = ests[:, centers]  # [4, F]
+        )  # [4, T_d]
+        ests_f = ests[:, centers_d]  # [4, F]
         # a frame center landing exactly on an event sample reads 0 from
         # that estimator; the neighbor sample carries the interval
-        ests_n = ests[:, jnp.minimum(centers + 1, T - 1)]
+        ests_n = ests[:, jnp.minimum(centers_d + 1, T_d - 1)]
         ests_f = jnp.where(ests_f > 0, ests_f, ests_n)
 
         mean = ests_f.mean(axis=0)
@@ -293,6 +328,18 @@ def _stonemask_refine(
     return jnp.where(good, r2, f0)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _dio_f0(x, sr, hop_length, f0_min, f0_max, use_stonemask):
+    """Whole DIO(+StoneMask) pipeline under ONE jit: a single device
+    dispatch per file (the per-stage jits inline), which matters when the
+    host↔device link has per-call latency (see CLAUDE.md tunnel notes)."""
+    cands, costs, frame_rms = _dio_candidates(x, sr, hop_length, f0_min, f0_max)
+    f0 = _dio_select(cands, costs, frame_rms)
+    if use_stonemask:
+        f0 = _stonemask_refine(x, sr, f0, hop_length, f0_min)
+    return f0
+
+
 @PITCH_EXTRACTORS.register_module(name="DioPitchExtractor")
 class DioPitchExtractor(BasePitchExtractor):
     """Native JAX DIO + StoneMask (reference
@@ -307,18 +354,14 @@ class DioPitchExtractor(BasePitchExtractor):
 
     def __call__(self, x, sampling_rate=44100, pad_to=None):
         x = jnp.asarray(x, jnp.float32).reshape(-1)
-        cands, costs, frame_rms = _dio_candidates(
+        f0 = _dio_f0(
             x,
             int(sampling_rate),
             self.hop_length,
             float(self.f0_min),
             float(self.f0_max),
+            self.use_stonemask,
         )
-        f0 = _dio_select(cands, costs, frame_rms)
-        if self.use_stonemask:
-            f0 = _stonemask_refine(
-                x, int(sampling_rate), f0, self.hop_length, float(self.f0_min)
-            )
         return self.post_process(x, sampling_rate, f0, pad_to)
 
 
@@ -353,8 +396,10 @@ class DioPitchExtractor(BasePitchExtractor):
 # chunk, sequential across chunks to bound memory); the event machinery
 # reuses the DIO cummax-scan intervals; NMS is K argmin/mask rounds over
 # the [C, F] map; refinement is the shared ``_if_estimate`` used by
-# StoneMask, vmapped over candidates. pyworld's decimation stage is
-# skipped (full-rate FFT filtering is cheap on TPU).
+# StoneMask, vmapped over candidates. Like pyworld, the candidate stage
+# runs on a decimated waveform (``_decimation_factor``: exact rfft-
+# truncation decimation, 4× at 44.1 kHz); IF refinement at the full rate
+# restores precision.
 # ---------------------------------------------------------------------------
 
 
@@ -403,6 +448,12 @@ def _harvest_candidates(
     n_frames = T // hop_length + 1
     centers = jnp.minimum(jnp.arange(n_frames) * hop_length, T - 1)
 
+    D = _decimation_factor(sr, f0_max, hop_length)
+    sr_d = sr // D
+    T_d = -(-T // D)
+    hop_d = hop_length // D
+    centers_d = jnp.minimum(jnp.arange(n_frames) * hop_d, T_d - 1)
+
     n_ch = max(
         2, int(math.ceil(math.log2(f0_max / f0_min) * channels_in_octave))
     )
@@ -413,18 +464,19 @@ def _harvest_candidates(
         ],
         np.float32,
     )
-    max_half = int(round(2.0 * sr / boundary[0]))
-    nfft = 1 << int(math.ceil(math.log2(T + 2 * max_half + 1)))
-    X = jnp.fft.rfft(x, n=nfft)
+    max_half = int(round(2.0 * sr_d / boundary[0]))
+    nfft_d = 1 << int(math.ceil(math.log2(T_d + 2 * max_half + 1)))
+    X = jnp.fft.rfft(x, n=nfft_d * D)
+    X_d = X[: nfft_d // 2 + 1] / D  # exact band-limited decimation
 
     # host-designed transfer stack, padded to a chunk multiple
     chunk = 8
     n_pad = (-n_ch) % chunk
     filt = np.stack(
-        [_nuttall_bandpass(float(b), sr, max_half) for b in boundary]
+        [_nuttall_bandpass(float(b), sr_d, max_half) for b in boundary]
         + [np.zeros(2 * max_half + 1, np.float32)] * n_pad
     )
-    H = jnp.asarray(np.fft.rfft(filt, n=nfft).astype(np.complex64))
+    H = jnp.asarray(np.fft.rfft(filt, n=nfft_d).astype(np.complex64))
     bounds = jnp.asarray(
         np.concatenate([boundary, np.zeros(n_pad, np.float32)])
     )
@@ -434,26 +486,30 @@ def _harvest_candidates(
         T - 1,
     )
     frame_rms = jnp.sqrt(jnp.mean(x[jnp.maximum(frame_idx, 0)] ** 2, axis=1))
+    frame_idx_d = jnp.minimum(
+        centers_d[:, None] + jnp.arange(hop_d)[None, :] - hop_d // 2,
+        T_d - 1,
+    )
 
     def chunk_fn(Hc):
-        y = jnp.fft.irfft(X[None, :] * Hc, n=nfft)[
-            :, max_half : max_half + T
-        ]  # [chunk, T]
+        y = jnp.fft.irfft(X_d[None, :] * Hc, n=nfft_d)[
+            :, max_half : max_half + T_d
+        ]  # [chunk, T_d]
         dy = jnp.diff(y, axis=1, append=y[:, -1:])
 
         def four(yc, dyc):
             return jnp.stack(
                 [
-                    _interval_f0(yc, sr),
-                    _interval_f0(-yc, sr),
-                    _interval_f0(dyc, sr),
-                    _interval_f0(-dyc, sr),
+                    _interval_f0(yc, sr_d),
+                    _interval_f0(-yc, sr_d),
+                    _interval_f0(dyc, sr_d),
+                    _interval_f0(-dyc, sr_d),
                 ]
             )
 
-        ests = jax.vmap(four)(y, dy)  # [chunk, 4, T]
-        ests_f = ests[:, :, centers]
-        ests_n = ests[:, :, jnp.minimum(centers + 1, T - 1)]
+        ests = jax.vmap(four)(y, dy)  # [chunk, 4, T_d]
+        ests_f = ests[:, :, centers_d]
+        ests_n = ests[:, :, jnp.minimum(centers_d + 1, T_d - 1)]
         ests_f = jnp.where(ests_f > 0, ests_f, ests_n)  # event-sample fix
         mean = ests_f.mean(axis=1)  # [chunk, F]
         spread = jnp.sqrt(
@@ -466,7 +522,7 @@ def _harvest_candidates(
         # every channel away from the true partials
         ch_amp = jnp.sqrt(
             jnp.mean(
-                y[:, jnp.maximum(frame_idx, 0)] ** 2, axis=2
+                y[:, jnp.maximum(frame_idx_d, 0)] ** 2, axis=2
             )
         )  # [chunk, F]
         return mean, spread, ch_amp
@@ -603,6 +659,20 @@ def _harvest_finalize(
     return jnp.where(inner, sm, f0)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _harvest_f0(x, sr, hop_length, f0_min, f0_max, channels_in_octave):
+    """Whole Harvest pipeline under ONE jit (see ``_dio_f0``): candidate
+    maps → NMS → IF refinement → contour Viterbi run as a single device
+    dispatch — the previously-unjitted NMS alone was ~30 eager op
+    dispatches per file over the device tunnel."""
+    cands, costs, frame_rms = _harvest_candidates(
+        x, sr, hop_length, f0_min, f0_max, channels_in_octave
+    )
+    cand_k, _ = _harvest_nms(cands, costs)
+    refined, score = _harvest_refine(x, sr, cand_k, hop_length, f0_min)
+    return _harvest_finalize(refined, score, frame_rms, f0_min)
+
+
 @PITCH_EXTRACTORS.register_module(name="HarvestPitchExtractor")
 class HarvestPitchExtractor(BasePitchExtractor):
     """Native JAX Harvest (reference ``modules/pitch_extractors/world.py:8-22``:
@@ -618,7 +688,7 @@ class HarvestPitchExtractor(BasePitchExtractor):
 
     def __call__(self, x, sampling_rate=44100, pad_to=None):
         x = jnp.asarray(x, jnp.float32).reshape(-1)
-        cands, costs, frame_rms = _harvest_candidates(
+        f0 = _harvest_f0(
             x,
             int(sampling_rate),
             self.hop_length,
@@ -626,9 +696,4 @@ class HarvestPitchExtractor(BasePitchExtractor):
             float(self.f0_max),
             self.channels_in_octave,
         )
-        cand_k, _ = _harvest_nms(cands, costs)
-        refined, score = _harvest_refine(
-            x, int(sampling_rate), cand_k, self.hop_length, float(self.f0_min)
-        )
-        f0 = _harvest_finalize(refined, score, frame_rms)
         return self.post_process(x, sampling_rate, f0, pad_to)
