@@ -12,6 +12,7 @@ ModelCheckpoint + the --pretrained surgery, SURVEY.md §5):
 
 from __future__ import annotations
 
+import concurrent.futures
 import re
 from pathlib import Path
 from typing import Any, Optional
@@ -24,11 +25,27 @@ from .state import TrainState
 
 
 class CheckpointManager:
+    """Async-by-default checkpointing.
+
+    ``save`` snapshots the state by *reference* (jax arrays are immutable,
+    so the refs are a consistent snapshot even while training continues)
+    and runs the device→host pull + orbax write in a background thread.
+    Training steps are device-resident (batches cached in HBM), so the
+    multi-GB transfer overlaps compute instead of stalling it — on the
+    ~30 MB/s tunnel a 253M-param Adam+EMA state is ~130 s of D2H that used
+    to freeze the step loop after every validation (the reference's
+    Lightning ModelCheckpoint has the same async option,
+    ``configs/_base_/trainers/base.py:21-25`` semantics otherwise).
+    At most one save is in flight; a second save waits for the first.
+    Reads (``latest_step``/``restore``) and ``close`` barrier first.
+    """
+
     def __init__(
         self,
         directory,
         save_top_k: int = -1,
         save_interval_steps: Optional[int] = None,
+        async_save: bool = True,
     ):
         directory = Path(directory).absolute()
         directory.mkdir(parents=True, exist_ok=True)
@@ -39,9 +56,11 @@ class CheckpointManager:
         )
         self._mngr = ocp.CheckpointManager(directory, options=options)
         self.directory = directory
+        self._async = async_save
+        self._pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
+        self._pending: Optional[concurrent.futures.Future] = None
 
-    def save(self, state: TrainState, metrics: Optional[dict] = None):
-        step = int(state.step)
+    def _do_save(self, state: TrainState, metrics: Optional[dict], step: int):
         # save as host numpy: checkpoints stay device-topology-agnostic
         # (a 4-chip training run restores on a 1-chip inference host)
         state_np = jax.device_get(state)
@@ -52,11 +71,31 @@ class CheckpointManager:
         )
         self._mngr.wait_until_finished()
 
+    def save(self, state: TrainState, metrics: Optional[dict] = None):
+        step = int(state.step)
+        if not self._async:
+            self._do_save(state, metrics, step)
+            return
+        self.wait()  # one in flight max; surfaces prior save errors
+        if self._pool is None:
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-save"
+            )
+        self._pending = self._pool.submit(self._do_save, state, metrics, step)
+
+    def wait(self):
+        """Barrier for the in-flight save (re-raises its errors)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
     def latest_step(self) -> Optional[int]:
+        self.wait()
         return self._mngr.latest_step()
 
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
         """Restore a full TrainState (resume semantics)."""
+        self.wait()
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
@@ -64,6 +103,10 @@ class CheckpointManager:
         return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
 
     def close(self):
+        self.wait()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
         self._mngr.close()
 
 

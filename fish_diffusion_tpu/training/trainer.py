@@ -472,10 +472,14 @@ class Trainer:
             # cache_bytes/replays for CachedDeviceFeeder) for soak artifacts
             self.last_feeder_stats = dict(getattr(feeder, "stats", {}))
             feeder.close()
+            # barrier the async checkpoint writer: callers must see a
+            # durable checkpoint when fit() returns
+            self.ckpt.wait()
 
         # max_epochs exhausted: final validation + checkpoint
         val_loss = self.validate(state, valid_loader, step)
         self.ckpt.save(state, {"valid_loss": val_loss})
+        self.ckpt.wait()
         return state
 
     # -- validation -------------------------------------------------------

@@ -296,3 +296,5 @@ class VocoderTrainer:
         finally:
             dlog.flush()
             feeder.close()
+            # barrier the async checkpoint writer (durable ckpt on return)
+            self.ckpt.wait()

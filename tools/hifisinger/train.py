@@ -184,6 +184,7 @@ def main():
 
             if step >= max_steps:
                 ckpt.save(state)
+                ckpt.wait()  # async writer: durable before exit
                 return
 
 
