@@ -18,10 +18,20 @@ from pathlib import Path
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
 from .state import TrainState
+
+
+@jax.jit
+def _snapshot_pytree(tree):
+    """Device-side copy with guaranteed-fresh output buffers (XLA cannot
+    alias program inputs to outputs without explicit donation). Needed
+    because the train step donates its input state: without this copy the
+    background writer's refs point at buffers the next step deletes."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
 
 
 class CheckpointManager:
@@ -60,28 +70,49 @@ class CheckpointManager:
         self._pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
         self._pending: Optional[concurrent.futures.Future] = None
 
-    def _do_save(self, state: TrainState, metrics: Optional[dict], step: int):
+    def _do_save(
+        self,
+        state: TrainState,
+        metrics: Optional[dict],
+        step: int,
+        force: bool,
+    ):
         # save as host numpy: checkpoints stay device-topology-agnostic
         # (a 4-chip training run restores on a 1-chip inference host)
+        if not force and not self._mngr.should_save(step):
+            return  # thinned by save_interval_steps: skip the D2H pull too
         state_np = jax.device_get(state)
         self._mngr.save(
             step,
             args=ocp.args.StandardSave(state_np),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
+            force=force,
         )
         self._mngr.wait_until_finished()
 
-    def save(self, state: TrainState, metrics: Optional[dict] = None):
+    def save(
+        self,
+        state: TrainState,
+        metrics: Optional[dict] = None,
+        force: bool = False,
+    ):
+        """``force=True`` bypasses ``save_interval_steps`` thinning (used for
+        the final checkpoint so fit() always returns a durable tail)."""
         step = int(state.step)
         if not self._async:
-            self._do_save(state, metrics, step)
+            self._do_save(state, metrics, step, force)
             return
         self.wait()  # one in flight max; surfaces prior save errors
+        if not force and not self._mngr.should_save(step):
+            return  # thinned: skip the snapshot copy too
+        snapshot = _snapshot_pytree(state)  # donation-safe device copy
         if self._pool is None:
             self._pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ckpt-save"
             )
-        self._pending = self._pool.submit(self._do_save, state, metrics, step)
+        self._pending = self._pool.submit(
+            self._do_save, snapshot, metrics, step, force
+        )
 
     def wait(self):
         """Barrier for the in-flight save (re-raises its errors)."""

@@ -235,6 +235,12 @@ class Trainer:
         self.ckpt = CheckpointManager(
             checkpoint_dir or (Path(log_dir) / "checkpoints"),
             save_top_k=tc.get("checkpoint", {}).get("save_top_k", -1),
+            # Lightning ModelCheckpoint(every_n_train_steps=...) equivalent:
+            # thin checkpoints below the validation cadence (orbax skips
+            # saves closer than this; the final save always lands)
+            save_interval_steps=tc.get("checkpoint", {}).get(
+                "every_n_train_steps"
+            ),
         )
 
         # frozen vocoder for validation artifacts (diffsinger.py:212-213)
@@ -460,7 +466,11 @@ class Trainer:
                 if step % self.val_check_interval == 0 or step >= self.max_steps:
                     dlog.flush()
                     val_loss = self.validate(state, valid_loader, step)
-                    self.ckpt.save(state, {"valid_loss": val_loss})
+                    self.ckpt.save(
+                        state,
+                        {"valid_loss": val_loss},
+                        force=step >= self.max_steps,
+                    )
                     t_emit[0] = time.perf_counter()
                     last_emit_step[0] = step
 
@@ -478,7 +488,7 @@ class Trainer:
 
         # max_epochs exhausted: final validation + checkpoint
         val_loss = self.validate(state, valid_loader, step)
-        self.ckpt.save(state, {"valid_loss": val_loss})
+        self.ckpt.save(state, {"valid_loss": val_loss}, force=True)
         self.ckpt.wait()
         return state
 

@@ -286,7 +286,9 @@ class VocoderTrainer:
                 if step % save_every == 0 or step >= max_steps:
                     dlog.flush()
                     self.ckpt.save(
-                        state, {k: float(v) for k, v in last_metrics.items()}
+                        state,
+                        {k: float(v) for k, v in last_metrics.items()},
+                        force=step >= max_steps,
                     )
                     t_emit[0] = time.perf_counter()
                     last_emit_step[0] = step

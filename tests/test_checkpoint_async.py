@@ -43,6 +43,26 @@ class TestAsyncCheckpoint:
         np.testing.assert_array_equal(np.asarray(s2.params["w"]), 10.0)
         mngr.close()
 
+    def test_survives_buffer_donation(self, tmp_path):
+        """The train step donates its input state; the async writer must
+        hold a snapshot that survives the donated buffers' deletion."""
+
+        @jax.jit
+        def advance(s):
+            return jax.tree_util.tree_map(lambda a: a * 2, s)
+
+        donating = jax.jit(advance, donate_argnums=0)
+
+        mngr = CheckpointManager(tmp_path)
+        s = _state(5, 3.0)
+        mngr.save(s)
+        s = donating(s)  # deletes s's buffers once the writer would read
+        jax.block_until_ready(s)
+        mngr.wait()
+        restored = mngr.restore(_state(0, 0.0), step=5)
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]), 3.0)
+        mngr.close()
+
     def test_back_to_back_saves_both_durable(self, tmp_path):
         mngr = CheckpointManager(tmp_path)
         mngr.save(_state(1, 1.0))
@@ -67,6 +87,17 @@ class TestAsyncCheckpoint:
         mngr.save(_state(3, 4.0))
         assert mngr._pending is None
         assert mngr.latest_step() == 3
+        mngr.close()
+
+    def test_save_interval_thinning_and_force(self, tmp_path):
+        """``every_n_train_steps`` equivalent: sub-interval saves are
+        skipped (including their D2H pull), ``force=True`` always lands."""
+        mngr = CheckpointManager(tmp_path, save_interval_steps=10)
+        mngr.save(_state(10, 1.0))
+        mngr.save(_state(14, 2.0))  # thinned
+        assert mngr.latest_step() == 10
+        mngr.save(_state(17, 3.0), force=True)  # final-save semantics
+        assert mngr.latest_step() == 17
         mngr.close()
 
     def test_save_error_surfaces_on_wait(self, tmp_path):

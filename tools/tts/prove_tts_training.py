@@ -103,6 +103,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--val-interval", type=int, default=500)
+    parser.add_argument(
+        "--ckpt-interval", type=int, default=1000,
+        help="checkpoint thinning (trainer.checkpoint.every_n_train_steps); "
+        "saves run async so they overlap training",
+    )
     parser.add_argument("--log-dir", default="logs/tts_proof_r03")
     parser.add_argument("--data-dir", default="/tmp/tts_proof_data")
     parser.add_argument("--out", default="docs/artifacts/tts_run_r03.json")
@@ -129,6 +134,9 @@ def main():
     cfg.trainer["max_steps"] = args.steps
     cfg.trainer["val_check_interval"] = args.val_interval
     cfg.trainer["log_every_n_steps"] = 25
+    cfg.trainer["checkpoint"] = dict(
+        every_n_train_steps=args.ckpt_interval
+    )
     if args.cache:
         cfg.trainer["cache_batches_on_device"] = True
 
@@ -181,6 +189,8 @@ def main():
         "mel_frames": N_TOKENS * FRAMES_PER_TOKEN,
         "cache_batches_on_device": bool(args.cache),
         "wall_seconds": wall,
+        "ckpt_every_n_train_steps": args.ckpt_interval,
+        "steps_per_sec_wall": int(state.step) / wall,
         "steps_per_sec_median": float(np.median(sps)) if sps else None,
         "train_loss_first_fifth": float(
             np.mean([r["train_loss"] for r in train_rows[:fifth]])
