@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import re
+import time
 from pathlib import Path
 from typing import Any, Optional
 
@@ -67,8 +68,31 @@ class CheckpointManager:
         self._mngr = ocp.CheckpointManager(directory, options=options)
         self.directory = directory
         self._async = async_save
+        self._interval = save_interval_steps
         self._pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
         self._pending: Optional[concurrent.futures.Future] = None
+        # per-save attribution (read after wait()): snapshot copy, D2H pull,
+        # orbax write. Lets proof artifacts explain where checkpoint wall
+        # time goes (on the ~30 MB/s tunnel the pull dominates; on a real
+        # PCIe host it vanishes).
+        self.stats = {
+            "saves": 0,
+            "snapshot_s": 0.0,
+            "pull_s": 0.0,
+            "write_s": 0.0,
+            "pull_bytes": 0,
+        }
+
+    def _thinned(self, step: int, force: bool) -> bool:
+        """True when this step's save should be skipped. Exact-multiple
+        semantics (Lightning ``every_n_train_steps``): orbax's own
+        ``should_save`` always admits the *first* save regardless of
+        interval, which on slow links costs a full off-cadence pull."""
+        if force:
+            return False
+        if self._interval and step % self._interval != 0:
+            return True
+        return not self._mngr.should_save(step)
 
     def _do_save(
         self,
@@ -79,9 +103,17 @@ class CheckpointManager:
     ):
         # save as host numpy: checkpoints stay device-topology-agnostic
         # (a 4-chip training run restores on a 1-chip inference host)
-        if not force and not self._mngr.should_save(step):
+        if self._thinned(step, force):
             return  # thinned by save_interval_steps: skip the D2H pull too
-        state_np = jax.device_get(state)
+        # Pull leaf-by-leaf instead of one bulk device_get: on a serialized
+        # transfer link each leaf is a separate request, so other threads'
+        # small reads (validation losses, logged metric scalars) interleave
+        # between leaves instead of queueing behind the whole multi-GB pull.
+        t0 = time.perf_counter()
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        host_leaves = [np.asarray(leaf) for leaf in leaves]
+        state_np = jax.tree_util.tree_unflatten(treedef, host_leaves)
+        t1 = time.perf_counter()
         self._mngr.save(
             step,
             args=ocp.args.StandardSave(state_np),
@@ -89,6 +121,13 @@ class CheckpointManager:
             force=force,
         )
         self._mngr.wait_until_finished()
+        t2 = time.perf_counter()
+        self.stats["saves"] += 1
+        self.stats["pull_s"] += t1 - t0
+        self.stats["write_s"] += t2 - t1
+        self.stats["pull_bytes"] += sum(
+            a.nbytes for a in host_leaves if hasattr(a, "nbytes")
+        )
 
     def save(
         self,
@@ -103,9 +142,11 @@ class CheckpointManager:
             self._do_save(state, metrics, step, force)
             return
         self.wait()  # one in flight max; surfaces prior save errors
-        if not force and not self._mngr.should_save(step):
+        if self._thinned(step, force):
             return  # thinned: skip the snapshot copy too
+        t0 = time.perf_counter()
         snapshot = _snapshot_pytree(state)  # donation-safe device copy
+        self.stats["snapshot_s"] += time.perf_counter() - t0
         if self._pool is None:
             self._pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ckpt-save"

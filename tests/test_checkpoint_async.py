@@ -93,11 +93,15 @@ class TestAsyncCheckpoint:
         """``every_n_train_steps`` equivalent: sub-interval saves are
         skipped (including their D2H pull), ``force=True`` always lands."""
         mngr = CheckpointManager(tmp_path, save_interval_steps=10)
+        mngr.save(_state(7, 0.5))  # off-cadence FIRST save is thinned too
+        assert mngr.latest_step() is None
         mngr.save(_state(10, 1.0))
         mngr.save(_state(14, 2.0))  # thinned
         assert mngr.latest_step() == 10
         mngr.save(_state(17, 3.0), force=True)  # final-save semantics
         assert mngr.latest_step() == 17
+        assert mngr.stats["saves"] == 2
+        assert mngr.stats["pull_bytes"] > 0
         mngr.close()
 
     def test_save_error_surfaces_on_wait(self, tmp_path):

@@ -73,9 +73,11 @@ def main():
         import gradio  # noqa: F401
     except ImportError:
         print(
-            "gradio is not installed in this environment. Use the HTTP API "
-            "instead:\n  python tools/diffusion/flask_api.py --config ... "
-            "--checkpoint ...",
+            "gradio is not installed in this environment. Equivalent UIs:\n"
+            "  python tools/diffusion/web_ui.py --config ... --checkpoint ..."
+            "  (zero-dependency browser UI, same controls)\n"
+            "  python tools/diffusion/flask_api.py --config ... "
+            "--checkpoint ...  (VST HTTP API)",
             file=sys.stderr,
         )
         sys.exit(1)

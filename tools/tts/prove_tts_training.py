@@ -203,6 +203,7 @@ def main():
             for r in val_rows
         ],
         "feeder_stats": getattr(trainer, "last_feeder_stats", {}),
+        "ckpt_stats": dict(trainer.ckpt.stats),
     }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
