@@ -12,8 +12,12 @@ Capability parity with the reference:
 Notes:
 - weight-norm via flax ``nn.WeightNorm``; the reference's one
   spectral-norm instance (first MSD discriminator, models.py:594) is
-  replaced by weight-norm (flax SpectralNorm needs mutable power-iteration
-  state that does not fit a pure jitted two-player step; dynamics are close)
+  genuine spectral norm here: power-iteration ``u``/``v`` vectors live in
+  a ``"spectral"`` variable collection threaded through the jitted GAN
+  step as explicit train-state (``training/gan.py:GANTrainState.spectral_d``)
+  and updated once per discriminator forward in the D phase, exactly the
+  ``torch.nn.utils.spectral_norm`` train-mode semantics
+  (``tests/test_spectral_norm.py`` pins parity)
 - ``nan_to_num`` guards from the reference are unnecessary under f32
   discriminators (we keep discriminators in f32 as the reference keeps GAN
   training at "32-true" precision, configs/svc_hifisinger_v2.py:112)
@@ -31,6 +35,40 @@ from flax import linen as nn
 from ..ops.mel import LogMelSpectrogram, stft_magnitude
 
 Dtype = Any
+
+
+def _l2normalize(x, eps: float = 1e-12):
+    """torch ``F.normalize`` semantics: x / max(||x||, eps)."""
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+def spectral_norm_kernel(kernel, u, v, update: bool, eps: float = 1e-12):
+    """Spectral normalization of a flax conv kernel with
+    ``torch.nn.utils.spectral_norm`` semantics (one power iteration per
+    train-mode forward; ``u``/``v`` are non-differentiable buffers; sigma
+    = u . W v differentiates through W only).
+
+    ``kernel``: flax layout ``[*k, cin, cout]``. The power-iteration
+    matrix is the torch view ``W = weight.reshape(cout, -1)`` with torch's
+    ``[cout, cin, *k]`` axis order, so ``u``/``v`` trajectories match the
+    reference bit-for-bit given the same starting buffers.
+
+    Returns ``(kernel / sigma, u_new, v_new)``; with ``update=False`` the
+    stored vectors are used unchanged (torch eval mode).
+    """
+    nd = kernel.ndim
+    cout = kernel.shape[-1]
+    w = jnp.transpose(
+        kernel, (nd - 1, nd - 2) + tuple(range(nd - 2))
+    ).reshape(cout, -1)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    if update:
+        w_sg = jax.lax.stop_gradient(w)
+        v = _l2normalize(w_sg.T @ u, eps)
+        u = _l2normalize(w_sg @ v, eps)
+    sigma = jnp.dot(u, w @ v)
+    return kernel / sigma, u, v
 
 
 def _wn_conv2d(features, kernel, stride, padding, name):
@@ -113,6 +151,7 @@ class DiscriminatorS(nn.Module):
 
     leaky_relu_slope: float = 0.1
     blocked: bool = True
+    use_spectral_norm: bool = False
 
     # (ch, k, stride, groups, pad)
     _SPECS = (
@@ -127,9 +166,41 @@ class DiscriminatorS(nn.Module):
     # layer index -> s_in time-fold (measured wins only; see blocked_conv)
     _BLOCK_S_IN = {1: 4, 2: 8, 5: 2}
 
+    def _sn_kernel(self, name, kernel, update: bool):
+        """Spectral-normalize ``kernel``, with u/v buffers in the
+        ``"spectral"`` collection (written only when that collection is
+        mutable — i.e. inside the D phase of the GAN step)."""
+        cout = kernel.shape[-1]
+        d = int(np.prod(kernel.shape[:-1]))
+
+        def init_vec(shape, salt):
+            return lambda: _l2normalize(
+                jax.random.normal(
+                    jax.random.fold_in(self.make_rng("params"), salt),
+                    shape,
+                    jnp.float32,
+                )
+            )
+
+        u_var = self.variable("spectral", f"{name}_u", init_vec((cout,), 0))
+        v_var = self.variable("spectral", f"{name}_v", init_vec((d,), 1))
+        w_bar, u_new, v_new = spectral_norm_kernel(
+            kernel, u_var.value, v_var.value, update
+        )
+        if (
+            update
+            and not self.is_initializing()
+            and self.is_mutable_collection("spectral")
+        ):
+            u_var.value = u_new
+            v_var.value = v_new
+        return w_bar
+
     @nn.compact
-    def __call__(self, x):
-        """x: [B, T] -> (score, fmap)."""
+    def __call__(self, x, update_spectral: bool = True):
+        """x: [B, T] -> (score, fmap). ``update_spectral`` only matters for
+        the spectral-norm variant (one power iteration per call, torch
+        train-mode semantics); weight-norm discriminators ignore it."""
         from ..ops.blocked_conv import (
             ConvParams,
             WNScale,
@@ -137,23 +208,29 @@ class DiscriminatorS(nn.Module):
             weight_norm_kernel,
         )
 
+        sn = self.use_spectral_norm
+
         h = x[:, :, None]
         fmap = []
         for i, (ch, k, s, g, p) in enumerate(self._SPECS):
             s_in = self._BLOCK_S_IN.get(i) if self.blocked else None
-            if s_in is not None:
+            if s_in is not None or sn:
                 cin = h.shape[-1]
-                scale = WNScale(
-                    conv_name=f"convs_{i}_conv", features=ch,
-                    name=f"convs_{i}",
-                )()
                 kernel, bias = ConvParams(
                     kernel_shape=(k, cin // g, ch),
                     features=ch,
                     kernel_init=nn.initializers.normal(0.01),
                     name=f"convs_{i}_conv",
                 )()
-                w = weight_norm_kernel(kernel, scale)
+                if sn:
+                    w = self._sn_kernel(f"convs_{i}", kernel, update_spectral)
+                else:
+                    scale = WNScale(
+                        conv_name=f"convs_{i}_conv", features=ch,
+                        name=f"convs_{i}",
+                    )()
+                    w = weight_norm_kernel(kernel, scale)
+            if s_in is not None:
                 # zero-pad T to a block multiple, then trim to the plain
                 # conv's output length (trailing zeros only ever feed the
                 # trimmed slots — same math as the plain zero padding)
@@ -165,6 +242,12 @@ class DiscriminatorS(nn.Module):
                 h = blocked_apply_grouped(
                     h, w, bias, k, s, g, s_in, jnp.float32
                 )[:, :t_out]
+            elif sn:
+                h = jax.lax.conv_general_dilated(
+                    h, w, (s,), [(p, p)],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    feature_group_count=g,
+                ) + bias
             else:
                 conv = nn.Conv(
                     ch,
@@ -179,20 +262,34 @@ class DiscriminatorS(nn.Module):
             h = nn.leaky_relu(h, self.leaky_relu_slope)
             fmap.append(h)
 
-        conv = nn.Conv(
-            1, kernel_size=(3,), padding=[(1, 1)],
-            kernel_init=nn.initializers.normal(0.01), name="conv_post_conv",
-        )
-        h = nn.WeightNorm(conv, name="conv_post")(h)
+        if sn:
+            kernel, bias = ConvParams(
+                kernel_shape=(3, h.shape[-1], 1),
+                features=1,
+                kernel_init=nn.initializers.normal(0.01),
+                name="conv_post_conv",
+            )()
+            w = self._sn_kernel("conv_post", kernel, update_spectral)
+            h = jax.lax.conv_general_dilated(
+                h, w, (1,), [(1, 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + bias
+        else:
+            conv = nn.Conv(
+                1, kernel_size=(3,), padding=[(1, 1)],
+                kernel_init=nn.initializers.normal(0.01), name="conv_post_conv",
+            )
+            h = nn.WeightNorm(conv, name="conv_post")(h)
         fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
 
 
 class MultiScaleDiscriminator(nn.Module):
-    """reference models.py:586-613: 3 scales with x2 average pooling."""
+    """reference models.py:586-613: 3 scales with x2 average pooling; the
+    first scale uses spectral norm (models.py:594), the rest weight norm."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, update_spectral: bool = True):
         scores, fmaps = [], []
         h = x
         for i in range(3):
@@ -202,7 +299,9 @@ class MultiScaleDiscriminator(nn.Module):
                 h = nn.avg_pool(
                     padded[:, :, None], (4,), strides=(2,), padding="VALID"
                 )[:, :, 0]
-            s, f = DiscriminatorS(name=f"disc_s{i}")(h)
+            s, f = DiscriminatorS(
+                use_spectral_norm=(i == 0), name=f"disc_s{i}"
+            )(h, update_spectral)
             scores.append(s)
             fmaps.append(f)
         return scores, fmaps

@@ -46,6 +46,11 @@ class GANTrainState(struct.PyTreeNode):
     params_d: Any
     opt_state_g: Any
     opt_state_d: Any
+    # power-iteration u/v buffers of the spectral-norm MSD discriminator
+    # (v1 flavor; empty dict for v2) — explicit state so the pure jitted
+    # two-player step can update them (reference models.py:594 keeps them
+    # as torch buffers mutated in the forward pre-hook)
+    spectral_d: Any = struct.field(default_factory=dict)
 
 
 class Discriminators:
@@ -70,15 +75,35 @@ class Discriminators:
         # pathologically slow over a remote-device tunnel
         def _init(rng, wav):
             p_mpd = self.mpd.init(rng, wav)["params"]
-            p_2 = self.second.init(jax.random.fold_in(rng, 1), wav)["params"]
-            return {"mpd": p_mpd, "second": p_2}
+            v_2 = self.second.init(jax.random.fold_in(rng, 1), wav)
+            return (
+                {"mpd": p_mpd, "second": v_2["params"]},
+                {"second": v_2["spectral"]} if "spectral" in v_2 else {},
+            )
 
         return jax.jit(_init)(rng, wav)
 
-    def apply(self, params, wav):
+    def apply(self, params, wav, spectral=None, update: bool = False):
+        """Run both discriminator stacks.
+
+        Returns ``((scores1, fmaps1), (scores2, fmaps2), spectral)`` where
+        ``spectral`` is the (possibly power-iterated) u/v state — pass it
+        back on the next call. ``update=True`` runs one power iteration in
+        the spectral-norm discriminator (torch train-mode semantics).
+        """
         s1, f1 = self.mpd.apply({"params": params["mpd"]}, wav)
-        s2, f2 = self.second.apply({"params": params["second"]}, wav)
-        return (s1, f1), (s2, f2)
+        vars2 = {"params": params["second"]}
+        if spectral and spectral.get("second"):
+            vars2["spectral"] = spectral["second"]
+            if update:
+                (s2, f2), mut = self.second.apply(
+                    vars2, wav, True, mutable=["spectral"]
+                )
+                return (s1, f1), (s2, f2), {"second": mut["spectral"]}
+            s2, f2 = self.second.apply(vars2, wav, False)
+        else:
+            s2, f2 = self.second.apply(vars2, wav)
+        return (s1, f1), (s2, f2), spectral
 
 
 def create_gan_state(
@@ -90,13 +115,16 @@ def create_gan_state(
     optimizer_d: optax.GradientTransformation,
 ) -> GANTrainState:
     params_g = jax.jit(generator_init)()
-    params_d = discriminators.init(jax.random.fold_in(rng, 7), example_wav)
+    params_d, spectral_d = discriminators.init(
+        jax.random.fold_in(rng, 7), example_wav
+    )
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g,
         params_d=params_d,
         opt_state_g=optimizer_g.init(params_g),
         opt_state_d=optimizer_d.init(params_d),
+        spectral_d=spectral_d,
     )
 
 
@@ -125,20 +153,30 @@ def make_gan_train_step(
         use_stft_loss = flavor == "v1"
     average = flavor == "v2"
 
-    def d_loss_fn(params_d, y, y_hat):
-        (s1_r, _), (s2_r, _) = discriminators.apply(params_d, y)
-        (s1_g, _), (s2_g, _) = discriminators.apply(params_d, y_hat)
+    def d_loss_fn(params_d, spectral_d, y, y_hat):
+        # one power iteration per discriminator forward (torch train-mode
+        # semantics: real pass then fake pass each advance u/v)
+        (s1_r, _), (s2_r, _), spectral_d = discriminators.apply(
+            params_d, y, spectral_d, update=True
+        )
+        (s1_g, _), (s2_g, _), spectral_d = discriminators.apply(
+            params_d, y_hat, spectral_d, update=True
+        )
         loss_1 = discriminator_loss(s1_r, s1_g, average=average)
         loss_2 = discriminator_loss(s2_r, s2_g, average=average)
-        return loss_1 + loss_2
+        return loss_1 + loss_2, spectral_d
 
-    def g_loss_fn(params_g, params_d, batch, rng):
+    def g_loss_fn(params_g, params_d, spectral_d, batch, rng):
         y = batch["audio"]
         y_hat = generator_apply(params_g, batch, rng)
         y = y[:, : y_hat.shape[1]]
 
-        (s1_r, f1_r), (s2_r, f2_r) = discriminators.apply(params_d, y)
-        (s1_g, f1_g), (s2_g, f2_g) = discriminators.apply(params_d, y_hat)
+        (s1_r, f1_r), (s2_r, f2_r), _ = discriminators.apply(
+            params_d, y, spectral_d
+        )
+        (s1_g, f1_g), (s2_g, f2_g), _ = discriminators.apply(
+            params_d, y_hat, spectral_d
+        )
 
         loss_adv = generator_adv_loss(s1_g, average=average) + generator_adv_loss(
             s2_g, average=average
@@ -179,9 +217,9 @@ def make_gan_train_step(
         )
         y_cut = y[:, : y_hat.shape[1]]
 
-        d_loss, grads_d = jax.value_and_grad(d_loss_fn)(
-            state.params_d, y_cut, y_hat
-        )
+        (d_loss, spectral_d), grads_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.params_d, state.spectral_d, y_cut, y_hat)
         updates_d, opt_state_d = optimizer_d.update(
             grads_d, state.opt_state_d, state.params_d
         )
@@ -190,7 +228,7 @@ def make_gan_train_step(
         # --- generator phase (against updated discriminators) ---
         (g_loss, (aux, _)), grads_g = jax.value_and_grad(
             g_loss_fn, has_aux=True
-        )(state.params_g, params_d, batch, rng_g1)
+        )(state.params_g, params_d, spectral_d, batch, rng_g1)
         updates_g, opt_state_g = optimizer_g.update(
             grads_g, state.opt_state_g, state.params_g
         )
@@ -202,6 +240,7 @@ def make_gan_train_step(
             params_d=params_d,
             opt_state_g=opt_state_g,
             opt_state_d=opt_state_d,
+            spectral_d=spectral_d,
         )
         metrics = {"loss_d": d_loss, "loss_g": g_loss, **aux}
         return new_state, metrics
