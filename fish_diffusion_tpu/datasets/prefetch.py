@@ -146,6 +146,21 @@ class CachedDeviceFeeder:
       ``trainer.cache_batches_on_device``; ``stats["cache_bytes"]`` is
       logged after epoch 1 so the cost is visible.
 
+    **Partial cache** (``cache_bytes_budget``): a corpus larger than free
+    HBM must not fall off a cliff back to fully-streamed throughput. With
+    a byte budget set, epoch 1 caches device batches only until the budget
+    is reached; every later epoch replays the cached batches AND streams
+    the remaining ``N - K`` batches from a fresh ``more_batches_fn()``
+    epoch through an async :class:`DeviceFeeder`, interleaved in a random
+    schedule so H2D transfers spread across the epoch and overlap compute.
+    Steady-state H2D traffic scales with ``1 - cached_fraction`` — a
+    smooth throughput curve between the fully-streamed and fully-cached
+    endpoints instead of an all-or-nothing switch. (Since the loader
+    reshuffles, the streamed portion of later epochs is a fresh sample
+    draw rather than "the exact uncached remainder"; with shuffled
+    many-epoch training this is the same class of deviation as the
+    frozen-composition caveat above.)
+
     Args:
         first_epoch_batches: host-batch iterable for ONE epoch.
         put_fn: host batch -> device batch (e.g. ``make_global_batch``).
@@ -153,6 +168,11 @@ class CachedDeviceFeeder:
         seed: RNG seed for the per-epoch batch-order permutation.
         on_epoch: optional callback ``f(epoch_index)`` at each epoch start
             (epoch 1 fires immediately).
+        cache_bytes_budget: max bytes of device batches to keep resident;
+            None = unlimited (cache the whole epoch).
+        more_batches_fn: zero-arg callable returning a fresh ONE-epoch
+            host-batch iterable; required when the budget is exceeded so
+            later epochs can stream the uncached remainder.
     """
 
     def __init__(
@@ -162,47 +182,97 @@ class CachedDeviceFeeder:
         epochs: Optional[int] = None,
         seed: int = 0,
         on_epoch: Optional[Callable] = None,
+        cache_bytes_budget: Optional[int] = None,
+        more_batches_fn: Optional[Callable[[], Iterable]] = None,
     ):
+        self._put_fn = put_fn
         self._feeder = DeviceFeeder(first_epoch_batches, put_fn)
         self._epochs = epochs
         self._seed = seed
         self._on_epoch = on_epoch
+        self._budget = cache_bytes_budget
+        self._more_fn = more_batches_fn
+        self._stream_feeder: Optional[DeviceFeeder] = None
         self._started = False
         # share the inner feeder's dict so consumers can read epoch-1
         # host_wait_s/put_s/batches alongside the replay counters
         self.stats = self._feeder.stats
         self.stats.update(
-            {"replayed_batches": 0, "cache_batches": 0, "cache_bytes": 0}
+            {
+                "replayed_batches": 0,
+                "streamed_batches": 0,
+                "cache_batches": 0,
+                "cache_bytes": 0,
+                "cached_fraction": 1.0,
+            }
+        )
+
+    @staticmethod
+    def _batch_bytes(b) -> int:
+        return int(
+            sum(arr.nbytes for arr in (b.values() if isinstance(b, dict) else [b]))
         )
 
     def _iter(self):
+        import itertools
+
         import numpy as np
 
         cache = []
+        n_total = 0
+        used = 0
+        budget = float("inf") if self._budget is None else self._budget
         if self._on_epoch is not None:
             self._on_epoch(1)
         for dev_batch in self._feeder:
-            cache.append(dev_batch)
+            n_total += 1
+            nbytes = self._batch_bytes(dev_batch)
+            if used + nbytes <= budget:
+                cache.append(dev_batch)
+                used += nbytes
             yield dev_batch
         self.stats["cache_batches"] = len(cache)
-        self.stats["cache_bytes"] = int(
-            sum(
-                arr.nbytes
-                for b in cache
-                for arr in (b.values() if isinstance(b, dict) else [b])
-            )
-        )
-        if not cache:
+        self.stats["cache_bytes"] = used
+        self.stats["cached_fraction"] = len(cache) / max(n_total, 1)
+        n_stream = n_total - len(cache)
+        if not cache and n_stream == 0:
             return
+        if n_stream > 0 and self._more_fn is None:
+            raise RuntimeError(
+                f"cache_bytes_budget={self._budget} holds only "
+                f"{len(cache)}/{n_total} batches and no more_batches_fn "
+                "was provided to stream the remainder"
+            )
         rng = np.random.default_rng(self._seed)
         epoch = 1
         while self._epochs is None or epoch < self._epochs:
             epoch += 1
             if self._on_epoch is not None:
                 self._on_epoch(epoch)
-            for i in rng.permutation(len(cache)):
-                self.stats["replayed_batches"] += 1
-                yield cache[i]
+            if n_stream == 0:
+                for i in rng.permutation(len(cache)):
+                    self.stats["replayed_batches"] += 1
+                    yield cache[i]
+                continue
+            # mixed epoch: slots < K replay the cache, the rest stream a
+            # fresh epoch through an async feeder (H2D overlapped)
+            self._stream_feeder = DeviceFeeder(
+                itertools.islice(self._more_fn(), n_stream), self._put_fn
+            )
+            try:
+                for s in rng.permutation(n_total):
+                    if s < len(cache):
+                        self.stats["replayed_batches"] += 1
+                        yield cache[s]
+                    else:
+                        item = next(self._stream_feeder, _SENTINEL)
+                        if item is _SENTINEL:
+                            continue  # loader came up short this epoch
+                        self.stats["streamed_batches"] += 1
+                        yield item
+            finally:
+                self._stream_feeder.close()
+                self._stream_feeder = None
 
     def __iter__(self):
         # single-use: the inner DeviceFeeder and the cache belong to the
@@ -217,6 +287,8 @@ class CachedDeviceFeeder:
 
     def close(self):
         self._feeder.close()
+        if self._stream_feeder is not None:
+            self._stream_feeder.close()
 
 
 class DeferredLogger:

@@ -361,6 +361,13 @@ class Trainer:
         cache_on_device = self.config.trainer.get(
             "cache_batches_on_device", False
         )
+        # trainer.cache_bytes_budget: partial cache for beyond-HBM corpora —
+        # keep at most this many bytes of device batches resident and stream
+        # the remainder each epoch (CachedDeviceFeeder docstring). Setting a
+        # budget implies caching.
+        cache_budget = self.config.trainer.get("cache_bytes_budget")
+        if cache_budget is not None:
+            cache_on_device = True
 
         def _clean(batch):
             clean = {}
@@ -443,6 +450,8 @@ class Trainer:
                 epochs=max_epochs,
                 seed=seed + 977,
                 on_epoch=_set_epoch,
+                cache_bytes_budget=cache_budget,
+                more_batches_fn=one_epoch,
             )
         else:
             feeder = DeviceFeeder(

@@ -205,6 +205,10 @@ class VocoderTrainer:
             cache_batches = bool(
                 self.config.trainer.get("cache_batches_on_device", False)
             )
+        # partial cache for beyond-HBM corpora (see CachedDeviceFeeder)
+        cache_budget = self.config.trainer.get("cache_bytes_budget")
+        if cache_budget is not None:
+            cache_batches = True
 
         def one_epoch():
             for batch in train_loader:
@@ -260,6 +264,8 @@ class VocoderTrainer:
                 put_fn=put_fn,
                 epochs=None,  # loop below terminates at max_steps
                 seed=seed + 977,
+                cache_bytes_budget=cache_budget,
+                more_batches_fn=one_epoch,
             )
         else:
             feeder = DeviceFeeder(
