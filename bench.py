@@ -50,6 +50,75 @@ except Exception:
     pass
 
 
+# ---------------------------------------------------------------------------
+# FLOPs / MFU accounting (VERDICT r3 next #2)
+# ---------------------------------------------------------------------------
+
+# Published peak dense-matmul throughput per chip, bf16, TFLOP/s.
+# (cloud.google.com/tpu/docs/system-architecture-tpu-vm; v5e = "v5 lite".)
+_PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,  # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,  # Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def _chip_peak_tflops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_BF16_TFLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def _compiled_flops(jitted_fn, *args, **kwargs):
+    """FLOPs of one call from XLA's compiled cost analysis (exact on TPU —
+    the CPU backend undercounts conv custom-calls, so CPU values are only
+    used when nothing better exists)."""
+    try:
+        ca = jitted_fn.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def wavenet_flops_per_frame(
+    mel: int = 128,
+    channels: int = 512,
+    layers: int = 20,
+    d_encoder: int = 256,
+    train: bool = False,
+) -> float:
+    """Analytic FLOPs per mel frame of one WaveNet denoiser eval
+    (models/wavenet.py; reference modules/wavenet.py:151-236). Counts
+    matmul/conv MACs at 2 FLOPs each; elementwise gates/embeddings are
+    <1% and ignored. Per residual block:
+
+      dilated conv k=3, C -> 2C:      2 * 3 * C * 2C
+      conditioner 1x1, E -> 2C:       2 * E * 2C
+      output 1x1, C -> 2C (res+skip): 2 * C * 2C
+
+    plus input proj (mel -> C), skip head (C -> C, C -> mel). A training
+    step costs ~3x the forward (activation grads + weight grads).
+    """
+    c2 = 2 * channels
+    per_block = 2 * 3 * channels * c2 + 2 * d_encoder * c2 + 2 * channels * c2
+    total = (
+        2 * mel * channels
+        + layers * per_block
+        + 2 * channels * channels
+        + 2 * channels * mel
+    )
+    return float(total) * (3.0 if train else 1.0)
+
+
 def main():
     from fish_diffusion_tpu.models import build_model
     from fish_diffusion_tpu.models.vocoders import NsfHifiGAN, NsfHifiGANGenerator
@@ -192,6 +261,29 @@ def main():
     sweep = {str(b): time_e2e(b, FRAMES, 10 if b <= 4 else 5) for b in SWEEP}
     headline = sweep[str(BATCH)]
 
+    # -- FLOPs/MFU: XLA's own compiled count (exact on TPU), crosschecked
+    # against the documented analytic WaveNet model ------------------------
+    peak_tflops = _chip_peak_tflops()
+    flops_e2e = _compiled_flops(
+        e2e, params, voc_params, batch, jax.random.PRNGKey(0)
+    )
+    denoiser_evals = 1000 // 10  # timesteps / sampler_interval
+    flops_e2e_analytic = (
+        BATCH * FRAMES * denoiser_evals * wavenet_flops_per_frame()
+    )
+    mfu = {
+        "device_kind": jax.devices()[0].device_kind,
+        "peak_bf16_tflops": peak_tflops,
+        # denoiser-only analytic count: the vocoder adds ~7% on top
+        "e2e_flops_per_call_analytic_denoiser": flops_e2e_analytic,
+    }
+    if flops_e2e:
+        tps = flops_e2e / headline["sec_per_clip"] / 1e12
+        mfu["e2e_flops_per_call_xla"] = flops_e2e
+        mfu["inference_tflops_per_sec"] = round(tps, 1)
+        if peak_tflops:
+            mfu["inference_mfu"] = round(tps / peak_tflops, 3)
+
     # batch=1 serving latency on a 3 s clip (the realtime TCP/VST frame)
     lat = time_e2e(1, LAT_FRAMES, 20)
     b1_latency_ms = 1000.0 * lat["sec_per_clip"]
@@ -244,7 +336,16 @@ def main():
         ),
     }
 
-    train_fps = _bench_training()
+    train_fps, train_flops = _bench_training()
+    mfu["train_flops_per_step_analytic"] = (
+        20 * 512 * wavenet_flops_per_frame(train=True)
+    )
+    if train_flops:
+        t_tps = train_flops * train_fps / (20 * 512) / 1e12
+        mfu["train_flops_per_step_xla"] = train_flops
+        mfu["train_tflops_per_sec"] = round(t_tps, 1)
+        if peak_tflops:
+            mfu["train_mfu"] = round(t_tps / peak_tflops, 3)
 
     gan = {}
     try:
@@ -254,11 +355,25 @@ def main():
     # live ~30-step probes of both adversarial regimes (VERDICT r2 next #3:
     # BENCH must catch regressions in the GAN/vocoder step, not replay them)
     try:
-        gan["gan_steps_per_sec_probe"] = round(_bench_gan_probe(), 3)
+        g_sps, g_flops = _bench_gan_probe()
+        gan["gan_steps_per_sec_probe"] = round(g_sps, 3)
+        if g_flops:
+            g_tps = g_flops * g_sps / 1e12
+            mfu["gan_flops_per_step_xla"] = g_flops
+            mfu["gan_tflops_per_sec"] = round(g_tps, 1)
+            if peak_tflops:
+                mfu["gan_mfu"] = round(g_tps / peak_tflops, 3)
     except Exception as e:
         gan["gan_steps_per_sec_probe_error"] = str(e)[:200]
     try:
-        gan["vocoder_steps_per_sec_probe"] = round(_bench_vocoder_probe(), 3)
+        v_sps, v_flops = _bench_vocoder_probe()
+        gan["vocoder_steps_per_sec_probe"] = round(v_sps, 3)
+        if v_flops:
+            v_tps = v_flops * v_sps / 1e12
+            mfu["vocoder_flops_per_step_xla"] = v_flops
+            mfu["vocoder_tflops_per_sec"] = round(v_tps, 1)
+            if peak_tflops:
+                mfu["vocoder_mfu"] = round(v_tps / peak_tflops, 3)
     except Exception as e:
         gan["vocoder_steps_per_sec_probe_error"] = str(e)[:200]
 
@@ -325,6 +440,7 @@ def main():
                 },
                 "train_mel_frames_per_sec_per_chip": round(train_fps, 1),
                 **shallow,
+                **mfu,
                 **gan,
                 "denoiser_evals": 100,
                 "batch": BATCH,
@@ -498,11 +614,12 @@ def _bench_gan_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
     for _ in range(warmup):
         state, metrics = step_fn(state, sb, rng)
     assert np.isfinite(float(metrics["loss_g"]))
+    flops = _compiled_flops(step_fn, state, sb, rng)
     start = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, sb, rng)
     _ = float(metrics["loss_g"])
-    return steps / (time.perf_counter() - start)
+    return steps / (time.perf_counter() - start), flops
 
 
 def _bench_vocoder_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
@@ -535,11 +652,12 @@ def _bench_vocoder_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
     for _ in range(warmup):
         state, metrics = trainer._train_step(state, sb, rng)
     assert np.isfinite(float(metrics["loss_g"]))
+    flops = _compiled_flops(trainer._train_step, state, sb, rng)
     start = time.perf_counter()
     for _ in range(steps):
         state, metrics = trainer._train_step(state, sb, rng)
     _ = float(metrics["loss_g"])
-    return steps / (time.perf_counter() - start)
+    return steps / (time.perf_counter() - start), flops
 
 
 def _bench_training():
@@ -631,13 +749,15 @@ def _bench_training():
         state, m = step(state, sb, jax.random.PRNGKey(1))
     _ = float(m["loss"])
 
+    flops = _compiled_flops(step, state, sb, jax.random.PRNGKey(1))
+
     iters = 20
     start = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, sb, jax.random.PRNGKey(1))
     _ = float(m["loss"])
     dt = (time.perf_counter() - start) / iters
-    return B * FRAMES / dt
+    return B * FRAMES / dt, flops
 
 
 if __name__ == "__main__":
