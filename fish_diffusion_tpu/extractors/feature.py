@@ -338,6 +338,70 @@ class ChineseHubertSoft(_HubertExtractorBase):
 
 
 @FEATURE_EXTRACTORS.register_module()
+class CMVNMelExtractor(BaseFeatureExtractor):
+    """Speaker-normalized log-mel content features: per-utterance,
+    per-bin cepstral mean-variance normalization (CMVN) of the log-mel.
+
+    Subtracting each mel bin's utterance mean removes static timbre —
+    spectral tilt and any constant multiplicative emphasis (additive in
+    log-mel) — while time-varying phonetic content survives; dividing by
+    the per-bin std equalizes dynamic range. This is the classic
+    speaker-normalization front-end, provided as a weight-free stand-in
+    for the pretrained content towers (HuBERT-soft, reference
+    ``modules/feature_extractors/hubert_soft.py:8``) in environments
+    without network access to checkpoints; it drives the end-to-end
+    conversion proof (``tools/diffusion/prove_conversion.py``).
+
+    The normalization statistics are energy-gated (frames within
+    ``active_range`` natural-log units of the utterance peak): callers
+    hand the extractor bucket-padded audio (static-shape discipline), and
+    ungated stats would vary with the padding fraction. Gating makes the
+    features invariant to padding and leading/trailing silence.
+
+    Output: ``[1, n_mels, T]`` float32 at the mel frame rate, so the
+    preprocessing pipeline's repeat_expand to mel length is exact.
+    """
+
+    def __init__(
+        self,
+        sampling_rate: int = 44100,
+        n_mels: int = 128,
+        hop_length: int = 512,
+        eps: float = 0.1,
+        active_range: float = 10.0,
+    ):
+        # eps floors the per-bin std: log-mel bins that are near-constant
+        # in time (held notes, silence-adjacent bins) would otherwise blow
+        # up under 1/std and amplify boundary-frame noise; typical voiced
+        # bins have std 1-3 log units, so 0.1 is far below signal scale
+        from ..ops.mel import LogMelSpectrogram
+
+        self.sampling_rate = sampling_rate
+        self.hop_length = hop_length
+        self.eps = eps
+        self._mel = LogMelSpectrogram(
+            sample_rate=sampling_rate, n_mels=n_mels, hop_length=hop_length
+        )
+
+        def _forward(audio):
+            mel = self._mel.wav2spec(audio)  # [1, M, T]
+            energy = jnp.max(mel, axis=1, keepdims=True)  # [1, 1, T]
+            active = (
+                energy > jnp.max(energy, axis=-1, keepdims=True) - active_range
+            ).astype(mel.dtype)
+            n = jnp.maximum(jnp.sum(active, axis=-1, keepdims=True), 1.0)
+            mean = jnp.sum(mel * active, axis=-1, keepdims=True) / n
+            var = jnp.sum(((mel - mean) ** 2) * active, axis=-1, keepdims=True) / n
+            return (mel - mean) / (jnp.sqrt(var) + eps)
+
+        self._forward = jax.jit(_forward)
+
+    def __call__(self, audio, sampling_rate=44100) -> np.ndarray:
+        audio = self.preprocess(audio, sampling_rate)
+        return np.asarray(self._forward(jnp.asarray(audio)[None]))
+
+
+@FEATURE_EXTRACTORS.register_module()
 class OpenCpopTranscriptionToPhonemesDuration(BaseFeatureExtractor):
     """One-hot phonemes + duration-cumsum phones2mel map
     (reference opencpop_transcription.py:12-59)."""

@@ -205,7 +205,12 @@ class AlignedWhisper(nn.Module):
         return self.phone_decoder_2(self.phone_decoder_1(x))
 
     def __call__(self, mel, phones):
-        return self.forward_audio(mel), self.forward_phones(phones)
+        audio_emb = self.forward_audio(mel)
+        phone_emb = self.forward_phones(phones)
+        # touch the CE decoder head so flax init creates its params (the
+        # aligner trainer's aux loss path, reference tools/whisper/train.py)
+        _ = self.forward_decoder(audio_emb)
+        return audio_emb, phone_emb
 
     def trainable_mask(self, params):
         """optax mask: True for trainable leaves — the last
@@ -273,6 +278,10 @@ class AlignedWhisperForAudio(BaseFeatureExtractor):
                         n_audio_state=self.model.n_audio_state,
                         n_audio_head=self.model.n_audio_head,
                         n_audio_layer=self.model.n_audio_layer,
+                        n_audio_trainable_layers=self.model.n_audio_trainable_layers,
+                        n_phone_state=self.model.n_phone_state,
+                        n_phone_head=self.model.n_phone_head,
+                        n_phone_layer=self.model.n_phone_layer,
                         n_outputs=self.model.n_outputs,
                     ),
                 },

@@ -108,3 +108,73 @@ class TestRMSEnergy:
         e = ext(np.zeros(4096, np.float32), SR)
         # centered: 1 + T // hop frames
         assert e.shape == (1 + 4096 // 512,)
+
+
+class TestCMVNMel:
+    """CMVNMelExtractor: padding-invariant, tilt-removing content features
+    (the weight-free content front-end driving the conversion proof)."""
+
+    def _harmonic(self, seconds=1.0, f0=220.0, sr=44100):
+        # vibrato keeps the mel bins time-varying (a perfectly static tone
+        # has zero per-bin variance — degenerate for any CMVN front-end)
+        t = np.arange(int(seconds * sr)) / sr
+        f_inst = f0 * 2 ** (0.5 * np.sin(2 * np.pi * 5.5 * t) / 12)
+        phase = 2 * np.pi * np.cumsum(f_inst) / sr
+        return sum(
+            (0.5 / k) * np.sin(k * phase) for k in range(1, 6)
+        ).astype(np.float32)
+
+    def test_output_contract_and_gated_stats(self):
+        from fish_diffusion_tpu.extractors.feature import CMVNMelExtractor
+
+        ex = CMVNMelExtractor()
+        audio = self._harmonic()
+        out = ex(audio, 44100)
+        assert out.ndim == 3 and out.shape[0] == 1 and out.shape[1] == 128
+        assert out.dtype == np.float32
+        # active frames are ~zero-mean/unit-std per bin
+        assert abs(out.mean()) < 0.3
+        assert 0.5 < out.std() < 1.5
+
+    def test_padding_invariance(self):
+        """Bucket padding (what callers feed) must not move the features
+        of the true frames — the energy gate excludes padding silence.
+        (Contract: utterances end in a fade/silence, as real speech and
+        the proof corpus do; a hard full-scale cut leaves a spectral
+        click frame inside the gate.)"""
+        from fish_diffusion_tpu.extractors.feature import CMVNMelExtractor
+
+        ex = CMVNMelExtractor()
+        audio = self._harmonic(1.0)
+        fade = np.minimum(np.arange(len(audio)) / 2048, 1.0)
+        audio = (audio * fade * fade[::-1]).astype(np.float32)
+        padded = np.pad(audio, (0, len(audio)))  # 50% zero padding
+        a = ex(audio, 44100)
+        b = ex(padded, 44100)
+        t = a.shape[2] - 2  # ignore the boundary frame
+        # STFT boundary frames legitimately differ between the two
+        # renderings, shifting the gated stats slightly — the contract is
+        # statistical stability on the unit feature scale, not bitwise
+        d = np.abs(a[:, :, :t] - b[:, :, :t])
+        assert float(d.mean()) < 0.05, d.mean()
+        assert float(np.quantile(d, 0.95)) < 0.3, np.quantile(d, 0.95)
+
+    def test_static_tilt_removed(self):
+        """A constant spectral tilt (static speaker timbre) must vanish:
+        pre-emphasized audio gives ~the same features."""
+        from scipy.signal import lfilter
+
+        from fish_diffusion_tpu.extractors.feature import CMVNMelExtractor
+
+        ex = CMVNMelExtractor()
+        audio = self._harmonic(1.0)
+        tilted = lfilter([1.0, -0.85], [1.0], audio).astype(np.float32)
+        a = ex(audio, 44100)
+        b = ex(tilted, 44100)
+        # mean abs deviation far below the unit feature scale
+        assert float(np.abs(a - b).mean()) < 0.25
+
+    def test_registered(self):
+        from fish_diffusion_tpu.registry import FEATURE_EXTRACTORS
+
+        assert "CMVNMelExtractor" in FEATURE_EXTRACTORS

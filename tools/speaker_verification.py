@@ -24,7 +24,8 @@ def mfcc_embedding(audio: np.ndarray, sr: int) -> np.ndarray:
 
     from fish_diffusion_tpu.ops.mel import LogMelSpectrogram
 
-    mel = LogMelSpectrogram(sample_rate=sr)(jnp.asarray(audio)[None])
+    # wav2spec applies the log compression (__call__ is the linear mel)
+    mel = LogMelSpectrogram(sample_rate=sr).wav2spec(jnp.asarray(audio)[None])
     mel = np.asarray(mel)[0]  # [M, T]
     return np.concatenate([mel.mean(axis=1), mel.std(axis=1)])
 

@@ -108,11 +108,15 @@ def main():
         help="checkpoint thinning (trainer.checkpoint.every_n_train_steps); "
         "saves run async so they overlap training",
     )
-    parser.add_argument("--log-dir", default="logs/tts_proof_r03")
+    parser.add_argument("--log-dir", default="logs/tts_proof_r04")
     parser.add_argument("--data-dir", default="/tmp/tts_proof_data")
-    parser.add_argument("--out", default="docs/artifacts/tts_run_r03.json")
+    parser.add_argument("--out", default="docs/artifacts/tts_run_r04.json")
     parser.add_argument("--cache", action="store_true",
                         help="trainer.cache_batches_on_device")
+    parser.add_argument("--val-sampler-interval", type=int, default=50,
+                        help="coarser reverse diffusion at validation "
+                        "(trainer.val_sampler_interval): 50 -> 20 denoiser "
+                        "evals instead of 100, cutting validation wall cost")
     parser.add_argument("--tiny", action="store_true",
                         help="shrink the denoiser (CPU smoke test)")
     args = parser.parse_args()
@@ -137,6 +141,7 @@ def main():
     cfg.trainer["checkpoint"] = dict(
         every_n_train_steps=args.ckpt_interval
     )
+    cfg.trainer["val_sampler_interval"] = args.val_sampler_interval
     if args.cache:
         cfg.trainer["cache_batches_on_device"] = True
 
@@ -189,6 +194,8 @@ def main():
         "mel_frames": N_TOKENS * FRAMES_PER_TOKEN,
         "cache_batches_on_device": bool(args.cache),
         "wall_seconds": wall,
+        "wall_breakdown": getattr(trainer, "last_wall_breakdown", None),
+        "val_sampler_interval": args.val_sampler_interval,
         "ckpt_every_n_train_steps": args.ckpt_interval,
         "steps_per_sec_wall": int(state.step) / wall,
         "steps_per_sec_median": float(np.median(sps)) if sps else None,

@@ -95,7 +95,7 @@ def load_sample(tg_file: Path, phonemes, train: bool, rng: random.Random):
     return mel, aligned
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", default="dataset/mfa-data")
     parser.add_argument("--dictionary", default="dictionaries/opencpop-strict.txt")
@@ -106,7 +106,13 @@ def main():
     parser.add_argument("--max-steps", type=int, default=40000)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--log-every", type=int, default=10)
-    args = parser.parse_args()
+    parser.add_argument("--dims", default=None,
+                        help="JSON dict of AlignedWhisper size overrides, "
+                        "e.g. '{\"n_audio_state\": 64, \"n_audio_layer\": 1}'")
+    parser.add_argument("--artifact", default=None,
+                        help="write a JSON run summary (loss/acc series, "
+                        "steps/s, held-out accuracy)")
+    args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -124,12 +130,17 @@ def main():
     files = sorted(Path(args.data).rglob("*.TextGrid*"))
     rng = random.Random(42)
     rng.shuffle(files)
-    split = int(len(files) * 0.98)
-    train_files, _val_files = files[:split], files[split:]
+    split = max(int(len(files) * 0.98), 1)
+    train_files, val_files = files[:split], files[split:]
     assert train_files, f"no TextGrid files under {args.data}"
 
-    model = AlignedWhisper(n_phones=len(phonemes))
-    wrapper = AlignedWhisperForAudio(random_init=True, n_phones=len(phonemes))
+    import json
+
+    dims = json.loads(args.dims) if args.dims else {}
+    model = AlignedWhisper(n_phones=len(phonemes), **dims)
+    wrapper = AlignedWhisperForAudio(
+        random_init=True, n_phones=len(phonemes), **dims
+    )
     params = wrapper.params
     if args.whisper_checkpoint:
         import pickle
@@ -178,6 +189,7 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
+    series = []
     step = 0
     t0 = time.time()
     while step < args.max_steps:
@@ -191,16 +203,61 @@ def main():
         )
         step += 1
         if step % args.log_every == 0:
+            row = dict(
+                step=step,
+                loss=float(loss),
+                emb_loss=float(aux["emb_loss"]),
+                ce=float(aux["ce"]),
+                acc=float(aux["acc"]),
+                time=time.time(),
+            )
+            series.append(row)
             print(
-                f"[whisper] step {step}: loss={float(loss):.4f} "
-                f"emb={float(aux['emb_loss']):.4f} ce={float(aux['ce']):.4f} "
-                f"acc={float(aux['acc']):.3f} "
-                f"({step / (time.time() - t0):.2f} it/s)"
+                f"[whisper] step {step}: loss={row['loss']:.4f} "
+                f"emb={row['emb_loss']:.4f} ce={row['ce']:.4f} "
+                f"acc={row['acc']:.3f} "
+                f"({step / (time.time() - t0):.2f} it/s)",
+                flush=True,
             )
 
+    wall = time.time() - t0
     wrapper.params = params
     wrapper.save(args.output)
     print(f"[whisper] saved {args.output}")
+
+    # held-out evaluation (no augmentation)
+    val_metrics = None
+    if val_files:
+        vm, vp = zip(
+            *(load_sample(f, phonemes, False, rng) for f in val_files[:8])
+        )
+        _, val_aux = jax.jit(loss_fn)(
+            params, jnp.asarray(np.stack(vm)), jnp.asarray(np.stack(vp))
+        )
+        val_metrics = {k: float(v) for k, v in val_aux.items()}
+        print(f"[whisper] val: {val_metrics}", flush=True)
+
+    if args.artifact:
+        summary = dict(
+            n_train_files=len(train_files),
+            n_val_files=len(val_files),
+            n_phones=len(phonemes),
+            dims=dims,
+            max_steps=args.max_steps,
+            batch_size=args.batch_size,
+            wall_seconds=wall,
+            steps_per_sec_wall=args.max_steps / max(wall, 1e-9),
+            series=series[:: max(len(series) // 50, 1)],
+            loss_first=series[0]["loss"] if series else None,
+            loss_last=series[-1]["loss"] if series else None,
+            acc_last=series[-1]["acc"] if series else None,
+            val=val_metrics,
+            chance_acc=1.0 / len(phonemes),
+        )
+        Path(args.artifact).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.artifact).write_text(json.dumps(summary, indent=1))
+        print(f"[whisper] artifact -> {args.artifact}", flush=True)
+    return series, val_metrics
 
 
 if __name__ == "__main__":
