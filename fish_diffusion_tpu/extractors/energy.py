@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.tensor import repeat_expand
+from ..ops.tensor import repeat_expand_np
 from ..registry import ENERGY_EXTRACTORS
 
 
@@ -50,4 +50,6 @@ class RMSEnergyExtractor:
         )
         if pad_to is None:
             return np.asarray(energy)
-        return np.asarray(repeat_expand(energy, pad_to))
+        # numpy: pad_to is unique per file — the jnp path would eagerly
+        # dispatch a tiny device op per call in the preprocessing CLI
+        return repeat_expand_np(np.asarray(energy), pad_to)

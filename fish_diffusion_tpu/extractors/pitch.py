@@ -57,13 +57,22 @@ class BasePitchExtractor:
         raise NotImplementedError
 
     def post_process(self, x, sampling_rate, f0, pad_to):
-        """reference builder.py:37-63 semantics."""
+        """reference builder.py:37-63 semantics.
+
+        Pure numpy: this runs per FILE with a unique shape each time —
+        jnp here would eagerly dispatch (or recompile) tiny ops per file,
+        which over a remote-device tunnel cost ~seconds per file in the
+        preprocessing CLI. ``np.interp`` matches the reference's
+        ``interpolate`` (endpoint extension) exactly.
+        """
+        from ..ops.tensor import repeat_expand_np
+
         f0 = np.asarray(f0, np.float32)
 
         if pad_to is None:
             return f0
 
-        f0 = np.asarray(repeat_expand(jnp.asarray(f0), pad_to))
+        f0 = repeat_expand_np(f0, pad_to)
 
         if self.keep_zeros:
             return f0
@@ -78,15 +87,7 @@ class BasePitchExtractor:
         time_org = self.hop_length / sampling_rate * nzindex
         time_frame = np.arange(pad_to) * self.hop_length / sampling_rate
 
-        return np.asarray(
-            interpolate(
-                jnp.asarray(time_frame),
-                jnp.asarray(time_org),
-                jnp.asarray(f0_nz),
-                left=f0_nz[0],
-                right=f0_nz[-1],
-            )
-        )
+        return np.interp(time_frame, time_org, f0_nz).astype(np.float32)
 
 
 def _frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:

@@ -40,7 +40,7 @@ from ..registry import (
     PITCH_EXTRACTORS,
     VOCODERS,
 )
-from ..ops.tensor import repeat_expand
+from ..ops.tensor import repeat_expand_np
 from ..utils.audio import load_wav, save_wav, slice_audio
 
 # frame buckets for jit reuse: ~1.5 s .. 30 s at hop 512 / 44.1 kHz
@@ -247,7 +247,7 @@ class SVCInference:
 
         if pitches is not None:
             pitches = np.nan_to_num(np.asarray(pitches, np.float32))
-            pitches = np.asarray(repeat_expand(jnp.asarray(pitches), mel_len))
+            pitches = repeat_expand_np(pitches, mel_len)
         else:
             f0_raw = np.asarray(
                 self.pitch_extractor(audio_padded, self.sampling_rate, pad_to=None)
@@ -267,8 +267,8 @@ class SVCInference:
         t_true = max(
             int(round(t_feat * len(audio) / len(audio_padded))), 1
         )
-        contents = np.asarray(
-            repeat_expand(jnp.asarray(contents[0, :, :t_true]), mel_len)
+        contents = repeat_expand_np(
+            np.asarray(contents)[0, :, :t_true], mel_len
         ).T
 
         pad = bucket - mel_len

@@ -6,6 +6,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _upsample_linear_integer(x: jax.Array, factor: int) -> jax.Array:
@@ -117,3 +118,49 @@ def interpolate(
     interped = jnp.where(x > xp[-1], right, interped)
 
     return interped
+
+
+def repeat_expand_np(content, target_len: int, mode: str = "nearest"):
+    """Pure-numpy ``repeat_expand`` for HOST-SIDE glue (preprocessing CLI,
+    per-segment inference prep). Identical math to the jnp version above —
+    but these call sites see a UNIQUE shape per file, so the jnp path
+    would compile (or eagerly dispatch over a remote-device tunnel) once
+    per file; numpy on frame-rate arrays is instant. Keep the jnp version
+    for code under jit."""
+    content = np.asarray(content)
+    ndim = content.ndim
+    if ndim == 1:
+        content = content[None, None]
+    elif ndim == 2:
+        content = content[None]
+    assert content.ndim == 3
+
+    src_len = content.shape[-1]
+    if mode == "nearest":
+        idx = np.clip(
+            (np.arange(target_len) * (src_len / target_len)).astype(np.int64),
+            0,
+            src_len - 1,
+        )
+        result = content[..., idx]
+    elif mode == "linear":
+        # f32 intermediates to match the jnp path's rounding exactly
+        scale = np.float32(src_len / target_len)
+        pos = np.clip(
+            (np.arange(target_len, dtype=np.float32) + np.float32(0.5)) * scale
+            - np.float32(0.5),
+            np.float32(0.0),
+            np.float32(src_len - 1),
+        )
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.clip(lo + 1, 0, src_len - 1)
+        w = (pos - lo).astype(content.dtype)
+        result = content[..., lo] * (1 - w) + content[..., hi] * w
+    else:
+        raise NotImplementedError(mode)
+
+    if ndim == 1:
+        return result[0, 0]
+    if ndim == 2:
+        return result[0]
+    return result

@@ -164,7 +164,15 @@ def make_gan_train_step(
         )
         loss_1 = discriminator_loss(s1_r, s1_g, average=average)
         loss_2 = discriminator_loss(s2_r, s2_g, average=average)
-        return loss_1 + loss_2, spectral_d
+        # diagnostics: mean D outputs (LSGAN optimum: real->1, fake->0;
+        # both drifting toward 0.5 = D losing, both saturating = G losing)
+        score_stats = {
+            "d_score_real": sum(jnp.mean(s) for s in s1_r + s2_r)
+            / (len(s1_r) + len(s2_r)),
+            "d_score_fake": sum(jnp.mean(s) for s in s1_g + s2_g)
+            / (len(s1_g) + len(s2_g)),
+        }
+        return loss_1 + loss_2, (spectral_d, score_stats)
 
     def g_loss_fn(params_g, params_d, spectral_d, batch, rng):
         y = batch["audio"]
@@ -217,7 +225,7 @@ def make_gan_train_step(
         )
         y_cut = y[:, : y_hat.shape[1]]
 
-        (d_loss, spectral_d), grads_d = jax.value_and_grad(
+        (d_loss, (spectral_d, score_stats)), grads_d = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.params_d, state.spectral_d, y_cut, y_hat)
         updates_d, opt_state_d = optimizer_d.update(
@@ -242,7 +250,7 @@ def make_gan_train_step(
             opt_state_d=opt_state_d,
             spectral_d=spectral_d,
         )
-        metrics = {"loss_d": d_loss, "loss_g": g_loss, **aux}
+        metrics = {"loss_d": d_loss, "loss_g": g_loss, **aux, **score_stats}
         return new_state, metrics
 
     if mesh is not None:

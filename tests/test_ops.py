@@ -200,6 +200,19 @@ class TestTensorOps:
         out = repeat_expand(x, 10)
         assert out.shape == (10,)
 
+    @pytest.mark.parametrize("mode", ["nearest", "linear"])
+    @pytest.mark.parametrize("shape", [(37,), (4, 37), (2, 3, 41)])
+    @pytest.mark.parametrize("target", [13, 100])
+    def test_repeat_expand_np_matches_jnp(self, mode, shape, target):
+        # host-glue numpy twin must be bit-identical to the jit-path op
+        from fish_diffusion_tpu.ops.tensor import repeat_expand_np
+
+        x = np.random.default_rng(7).standard_normal(shape).astype(np.float32)
+        ours = repeat_expand_np(x, target, mode=mode)
+        ref = np.asarray(repeat_expand(jnp.asarray(x), target, mode=mode))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
     def test_interpolate_matches_numpy(self):
         xp = jnp.asarray([0.0, 1.0, 2.0, 5.0])
         fp = jnp.asarray([0.0, 10.0, 20.0, 50.0])

@@ -58,7 +58,7 @@ def inference(config, checkpoint, input_path, output_path, speaker_id=0,
     import pickle
 
     from fish_diffusion_tpu.models import build_model
-    from fish_diffusion_tpu.ops.tensor import repeat_expand
+    from fish_diffusion_tpu.ops.tensor import repeat_expand_np
     from fish_diffusion_tpu.registry import FEATURE_EXTRACTORS, VOCODERS
     from fish_diffusion_tpu.utils.audio import save_wav
     import fish_diffusion_tpu.extractors  # noqa: F401
@@ -107,9 +107,7 @@ def inference(config, checkpoint, input_path, output_path, speaker_id=0,
         ).astype(np.float32)
 
         features = phones_extractor(aligned)  # [1, C, T_phones]
-        contents = np.asarray(
-            repeat_expand(jnp.asarray(features[0]), n_mels)
-        ).T  # [n_mels, C]
+        contents = repeat_expand_np(np.asarray(features)[0], n_mels).T  # [n_mels, C]
 
         print(f"[svs] chunk {idx + 1}/{len(chunks)}: {total_duration:.2f}s")
 

@@ -72,7 +72,7 @@ def inference(
 
     from fish_diffusion_tpu.inference.svc import SVCInference  # noqa: F401
     from fish_diffusion_tpu.models import build_model
-    from fish_diffusion_tpu.ops.tensor import repeat_expand
+    from fish_diffusion_tpu.ops.tensor import repeat_expand_np
     from fish_diffusion_tpu.registry import VOCODERS
     from fish_diffusion_tpu.utils.audio import save_wav
 
@@ -123,7 +123,7 @@ def inference(
         f0 = np.interp(
             np.arange(0, t_max, dt), f0_timestep * np.arange(len(f0_seq)), f0_seq
         ).astype(np.float32)
-        f0 = np.asarray(repeat_expand(jnp.asarray(f0), n_mels, mode="linear"))
+        f0 = repeat_expand_np(f0, n_mels, mode="linear")
 
         phoneme_features = build_phoneme_features(
             phones, durations, n_mels, num_classes

@@ -70,7 +70,7 @@ class HiFiSingerInference:
         import jax
         import jax.numpy as jnp
 
-        from fish_diffusion_tpu.ops.tensor import repeat_expand
+        from fish_diffusion_tpu.ops.tensor import repeat_expand_np
 
         mel_len = len(audio) // self.hop_length
 
@@ -79,7 +79,7 @@ class HiFiSingerInference:
         ) * 2 ** (pitch_adjust / 12)
 
         contents = self.text_features_extractor(audio, self.sampling_rate)
-        contents = np.asarray(repeat_expand(jnp.asarray(contents[0]), mel_len)).T
+        contents = repeat_expand_np(np.asarray(contents)[0], mel_len).T
 
         wav = self._jit_forward(
             self.params,

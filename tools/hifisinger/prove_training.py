@@ -321,6 +321,8 @@ def main():
     )
     val_mel_tf = LogMelSpectrogram(sample_rate=sr, hop_length=hop, n_mels=128)
 
+    from fish_diffusion_tpu.models.discriminators import multi_scale_stft_loss
+
     @jax.jit
     def val_fn(params_g, batch, vrng):
         y_hat = generator_apply(params_g, batch, vrng)
@@ -328,7 +330,33 @@ def main():
         l1 = jnp.mean(
             jnp.abs(val_mel_tf.wav2spec(y) - val_mel_tf.wav2spec(y_hat))
         )
-        return l1, y_hat
+        stft = multi_scale_stft_loss(y, y_hat)
+        return l1, stft, y_hat
+
+    # held-out F0 deviation of the GENERATED audio (VERDICT r3 next #6:
+    # val mel-L1 alone cannot see pitch errors) — native Harvest on the
+    # first val items, compared to the true frame f0 in cents
+    import fish_diffusion_tpu.extractors  # noqa: F401
+    from fish_diffusion_tpu.registry import PITCH_EXTRACTORS
+
+    f0_ext = PITCH_EXTRACTORS.build(
+        dict(type="HarvestPitchExtractor", keep_zeros=False)
+    )
+
+    def val_f0_cents(y_hat_np, f0_true):
+        raw = np.asarray(f0_ext(y_hat_np, sr, pad_to=None))
+        n_true = int(np.ceil(len(y_hat_np) / f0_ext.hop_length))
+        f0_hat = np.asarray(
+            f0_ext.post_process(y_hat_np, sr, raw[:n_true], len(f0_true))
+        )
+        voiced = (np.asarray(f0_true) > 50) & (f0_hat > 50)
+        if not voiced.any():
+            return None
+        return float(
+            np.median(
+                1200 * np.abs(np.log2(f0_hat[voiced] / np.asarray(f0_true)[voiced]))
+            )
+        )
 
     val_batch = shard_batch(
         {
@@ -431,10 +459,31 @@ def main():
             pending = (step, metrics)
 
         if step % args.val_every == 0 or step == args.steps:
-            l1, _ = val_fn(state.params_g, val_batch, jax.random.PRNGKey(0))
-            val_series.append({"step": step, "val_mel_l1": float(l1)})
+            l1, stft, y_hat_val = val_fn(
+                state.params_g, val_batch, jax.random.PRNGKey(0)
+            )
+            cents = [
+                val_f0_cents(
+                    np.asarray(y_hat_val[i], np.float32),
+                    val_f0[i][: y_hat_val.shape[1] // hop],
+                )
+                for i in range(min(2, y_hat_val.shape[0]))
+            ]
+            cents = [c for c in cents if c is not None]
+            val_series.append(
+                {
+                    "step": step,
+                    "val_mel_l1": float(l1),
+                    "val_stft_dist": float(stft),
+                    "val_f0_cents_median": (
+                        float(np.mean(cents)) if cents else None
+                    ),
+                }
+            )
             print(
-                f"  [val] step {step} mel_l1 {val_series[-1]['val_mel_l1']:.4f}",
+                f"  [val] step {step} mel_l1 {val_series[-1]['val_mel_l1']:.4f} "
+                f"stft {val_series[-1]['val_stft_dist']:.4f} "
+                f"f0 {val_series[-1]['val_f0_cents_median']} cents",
                 flush=True,
             )
             t_last = time.perf_counter()  # don't count val in steps/s
@@ -447,7 +496,7 @@ def main():
     # final val audio artifact (snippet + hash in the summary)
     import hashlib
 
-    _, y_hat_val = val_fn(state.params_g, val_batch, jax.random.PRNGKey(0))
+    _, _, y_hat_val = val_fn(state.params_g, val_batch, jax.random.PRNGKey(0))
     snippet = np.asarray(y_hat_val[0], np.float32)
     out_wav = Path(args.out).with_suffix(".val_pred.wav")
     out_wav.parent.mkdir(parents=True, exist_ok=True)
@@ -486,6 +535,10 @@ def main():
         ),
         "val_mel_l1_first": val_series[0]["val_mel_l1"] if val_series else None,
         "val_mel_l1_last": val_series[-1]["val_mel_l1"] if val_series else None,
+        "val_stft_dist_first": val_series[0].get("val_stft_dist") if val_series else None,
+        "val_stft_dist_last": val_series[-1].get("val_stft_dist") if val_series else None,
+        "val_f0_cents_first": val_series[0].get("val_f0_cents_median") if val_series else None,
+        "val_f0_cents_last": val_series[-1].get("val_f0_cents_median") if val_series else None,
         "val_pred_wav": str(out_wav),
         "val_pred_wav_sha256_16": wav_sha,
         "cache_batches_on_device": bool(args.cache_batches),

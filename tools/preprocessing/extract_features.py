@@ -149,12 +149,14 @@ class FeaturePipeline:
                 audio_padded, self.sampling_rate
             )
             # crop the padded tail, then repeat-expand to mel frames
-            from fish_diffusion_tpu.ops.tensor import repeat_expand
+            # (numpy: per-file unique shapes would eagerly dispatch tiny
+            # device ops once per file — seconds each over a remote tunnel)
+            from fish_diffusion_tpu.ops.tensor import repeat_expand_np
 
             t_feat = contents.shape[-1]
             t_true = max(int(round(t_feat * len(audio) / bucket_samples)), 1)
-            contents = np.asarray(
-                repeat_expand(jnp.asarray(contents[0, :, :t_true]), mel_len)
+            contents = repeat_expand_np(
+                np.asarray(contents)[0, :, :t_true], mel_len
             )
             sample["contents"] = contents.astype(np.float32)
 
@@ -177,10 +179,10 @@ class FeaturePipeline:
             n_frames_true = int(
                 np.ceil(len(audio) / self.energy_extractor.hop_length)
             )
-            from fish_diffusion_tpu.ops.tensor import repeat_expand
+            from fish_diffusion_tpu.ops.tensor import repeat_expand_np
 
-            energy = np.asarray(
-                repeat_expand(jnp.asarray(np.asarray(energy)[:n_frames_true]), mel_len)
+            energy = repeat_expand_np(
+                np.asarray(energy)[:n_frames_true], mel_len
             )
             sample["energy"] = energy.astype(np.float32)
 
