@@ -66,6 +66,19 @@ _PEAK_BF16_TFLOPS = {
     "TPU v6e": 918.0,
 }
 
+# Published HBM bandwidth per chip, GB/s (same source). Used for the
+# roofline bound: a kernel mix with arithmetic intensity AI (FLOPs/byte)
+# cannot exceed min(peak_flops, AI * bandwidth) regardless of scheduling.
+_PEAK_HBM_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5": 2765.0,  # v5p
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,  # Trillium
+    "TPU v6e": 1640.0,
+}
+
 
 def _chip_peak_tflops() -> float | None:
     kind = jax.devices()[0].device_kind
@@ -75,18 +88,48 @@ def _chip_peak_tflops() -> float | None:
     return None
 
 
+def _chip_hbm_gbps() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, bw in _PEAK_HBM_GBPS.items():
+        if kind.startswith(name):
+            return bw
+    return None
+
+
 def _compiled_flops(jitted_fn, *args, **kwargs):
-    """FLOPs of one call from XLA's compiled cost analysis (exact on TPU —
-    the CPU backend undercounts conv custom-calls, so CPU values are only
-    used when nothing better exists)."""
+    """(FLOPs, HBM bytes accessed) of one call from XLA's compiled cost
+    analysis (exact on TPU — the CPU backend undercounts conv custom-calls,
+    so CPU values are only used when nothing better exists). Returns
+    (flops, bytes) with None for any field the backend does not report."""
     try:
         ca = jitted_fn.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = ca.get("flops")
-        return float(f) if f and f > 0 else None
+        by = ca.get("bytes accessed")
+        return (
+            float(f) if f and f > 0 else None,
+            float(by) if by and by > 0 else None,
+        )
     except Exception:
-        return None
+        return None, None
+
+
+def _roofline(mfu: dict, prefix: str, flops, nbytes, peak_tflops, hbm_gbps):
+    """Attach arithmetic-intensity + roofline-bound fields for one probe.
+
+    ``<prefix>_ai_flops_per_byte``: the compiled program's FLOPs per HBM
+    byte. ``<prefix>_roofline_mfu_bound``: the best MFU any schedule could
+    reach at that intensity — min(1, AI * BW / peak). Measured MFU close to
+    the bound means the program is bandwidth-bound, not badly scheduled."""
+    if not (flops and nbytes):
+        return
+    ai = flops / nbytes
+    mfu[f"{prefix}_hbm_bytes_per_call_xla"] = nbytes
+    mfu[f"{prefix}_ai_flops_per_byte"] = round(ai, 1)
+    if peak_tflops and hbm_gbps:
+        bound = min(1.0, ai * hbm_gbps * 1e9 / (peak_tflops * 1e12))
+        mfu[f"{prefix}_roofline_mfu_bound"] = round(bound, 3)
 
 
 def wavenet_flops_per_frame(
@@ -264,7 +307,8 @@ def main():
     # -- FLOPs/MFU: XLA's own compiled count (exact on TPU), crosschecked
     # against the documented analytic WaveNet model ------------------------
     peak_tflops = _chip_peak_tflops()
-    flops_e2e = _compiled_flops(
+    hbm_gbps = _chip_hbm_gbps()
+    flops_e2e, bytes_e2e = _compiled_flops(
         e2e, params, voc_params, batch, jax.random.PRNGKey(0)
     )
     denoiser_evals = 1000 // 10  # timesteps / sampler_interval
@@ -274,6 +318,7 @@ def main():
     mfu = {
         "device_kind": jax.devices()[0].device_kind,
         "peak_bf16_tflops": peak_tflops,
+        "peak_hbm_gbps": hbm_gbps,
         # denoiser-only analytic count: the vocoder adds ~7% on top
         "e2e_flops_per_call_analytic_denoiser": flops_e2e_analytic,
     }
@@ -283,6 +328,7 @@ def main():
         mfu["inference_tflops_per_sec"] = round(tps, 1)
         if peak_tflops:
             mfu["inference_mfu"] = round(tps / peak_tflops, 3)
+        _roofline(mfu, "inference", flops_e2e, bytes_e2e, peak_tflops, hbm_gbps)
 
     # batch=1 serving latency on a 3 s clip (the realtime TCP/VST frame)
     lat = time_e2e(1, LAT_FRAMES, 20)
@@ -336,7 +382,7 @@ def main():
         ),
     }
 
-    train_fps, train_flops = _bench_training()
+    train_fps, train_flops, train_bytes = _bench_training()
     mfu["train_flops_per_step_analytic"] = (
         20 * 512 * wavenet_flops_per_frame(train=True)
     )
@@ -346,6 +392,7 @@ def main():
         mfu["train_tflops_per_sec"] = round(t_tps, 1)
         if peak_tflops:
             mfu["train_mfu"] = round(t_tps / peak_tflops, 3)
+        _roofline(mfu, "train", train_flops, train_bytes, peak_tflops, hbm_gbps)
 
     gan = {}
     try:
@@ -355,7 +402,7 @@ def main():
     # live ~30-step probes of both adversarial regimes (VERDICT r2 next #3:
     # BENCH must catch regressions in the GAN/vocoder step, not replay them)
     try:
-        g_sps, g_flops = _bench_gan_probe()
+        g_sps, g_flops, g_bytes = _bench_gan_probe()
         gan["gan_steps_per_sec_probe"] = round(g_sps, 3)
         if g_flops:
             g_tps = g_flops * g_sps / 1e12
@@ -363,10 +410,11 @@ def main():
             mfu["gan_tflops_per_sec"] = round(g_tps, 1)
             if peak_tflops:
                 mfu["gan_mfu"] = round(g_tps / peak_tflops, 3)
+            _roofline(mfu, "gan", g_flops, g_bytes, peak_tflops, hbm_gbps)
     except Exception as e:
         gan["gan_steps_per_sec_probe_error"] = str(e)[:200]
     try:
-        v_sps, v_flops = _bench_vocoder_probe()
+        v_sps, v_flops, v_bytes = _bench_vocoder_probe()
         gan["vocoder_steps_per_sec_probe"] = round(v_sps, 3)
         if v_flops:
             v_tps = v_flops * v_sps / 1e12
@@ -374,6 +422,7 @@ def main():
             mfu["vocoder_tflops_per_sec"] = round(v_tps, 1)
             if peak_tflops:
                 mfu["vocoder_mfu"] = round(v_tps / peak_tflops, 3)
+            _roofline(mfu, "vocoder", v_flops, v_bytes, peak_tflops, hbm_gbps)
     except Exception as e:
         gan["vocoder_steps_per_sec_probe_error"] = str(e)[:200]
 
@@ -614,12 +663,12 @@ def _bench_gan_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
     for _ in range(warmup):
         state, metrics = step_fn(state, sb, rng)
     assert np.isfinite(float(metrics["loss_g"]))
-    flops = _compiled_flops(step_fn, state, sb, rng)
+    flops, nbytes = _compiled_flops(step_fn, state, sb, rng)
     start = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, sb, rng)
     _ = float(metrics["loss_g"])
-    return steps / (time.perf_counter() - start), flops
+    return steps / (time.perf_counter() - start), flops, nbytes
 
 
 def _bench_vocoder_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
@@ -652,12 +701,12 @@ def _bench_vocoder_probe(steps: int = 25, warmup: int = 5, batch: int = 8):
     for _ in range(warmup):
         state, metrics = trainer._train_step(state, sb, rng)
     assert np.isfinite(float(metrics["loss_g"]))
-    flops = _compiled_flops(trainer._train_step, state, sb, rng)
+    flops, nbytes = _compiled_flops(trainer._train_step, state, sb, rng)
     start = time.perf_counter()
     for _ in range(steps):
         state, metrics = trainer._train_step(state, sb, rng)
     _ = float(metrics["loss_g"])
-    return steps / (time.perf_counter() - start), flops
+    return steps / (time.perf_counter() - start), flops, nbytes
 
 
 def _bench_training():
@@ -749,7 +798,7 @@ def _bench_training():
         state, m = step(state, sb, jax.random.PRNGKey(1))
     _ = float(m["loss"])
 
-    flops = _compiled_flops(step, state, sb, jax.random.PRNGKey(1))
+    flops, nbytes = _compiled_flops(step, state, sb, jax.random.PRNGKey(1))
 
     iters = 20
     start = time.perf_counter()
@@ -757,7 +806,7 @@ def _bench_training():
         state, m = step(state, sb, jax.random.PRNGKey(1))
     _ = float(m["loss"])
     dt = (time.perf_counter() - start) / iters
-    return B * FRAMES / dt, flops
+    return B * FRAMES / dt, flops, nbytes
 
 
 if __name__ == "__main__":

@@ -104,6 +104,7 @@ def main():
 
     import jax
 
+    import fish_diffusion_tpu  # noqa: F401  (honors JAX_PLATFORMS pre-init)
     from tools.diffusion.soak_run import make_dataset, write_config
 
     log_root = Path(args.log_dir)

@@ -49,6 +49,8 @@ def main():
 
     import jax
 
+    import fish_diffusion_tpu  # noqa: F401  (honors JAX_PLATFORMS pre-init)
+
     test_mod = _load("whisper_fixtures", ROOT / "tests" / "test_whisper_train.py")
     train_mod = _load("whisper_train", ROOT / "tools" / "whisper" / "train.py")
 
