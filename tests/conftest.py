@@ -25,8 +25,12 @@ if "collective_call_terminate_timeout" not in flags:
     )
 os.environ["XLA_FLAGS"] = flags
 
-# persistent compilation cache: repeated test runs skip recompilation
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# persistent compilation cache: repeated test runs skip recompilation.
+# NOTE: the suite gets its OWN directory — jax's cache reader hard-aborts
+# the process (Fatal Python error inside get_executable_and_time) on an
+# entry another process is concurrently writing, so never point the suite
+# at a cache a live training/benchmark process is also using.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pytest")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
