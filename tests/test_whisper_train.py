@@ -96,8 +96,11 @@ def test_textgrid_parser(fixture_dir):
 
 
 def test_trainer_main_learns_above_chance(fixture_dir, tmp_path):
-    """Run main() for 40 tiny steps: loss must descend and frame accuracy
-    must beat chance by a wide margin on this separable task."""
+    """Run main() for 150 tiny steps: loss must descend, frame accuracy
+    must beat chance by a wide margin on this separable task, and the
+    held-out file must classify above zero (150 steps is the validated
+    floor for val generalization with the class-balanced CE; at 60 the
+    single val file is still chance-level noise)."""
     mod = _load_train_module()
     artifact = tmp_path / "whisper_run.json"
     output = tmp_path / "aligned.pkl"
@@ -108,8 +111,8 @@ def test_trainer_main_learns_above_chance(fixture_dir, tmp_path):
             "--dictionary", str(fixture_dir / "dict.txt"),
             "--output", str(output),
             "--batch-size", "2",
-            "--max-steps", "60",
-            "--log-every", "5",
+            "--max-steps", "150",
+            "--log-every", "10",
             "--lr", "2e-3",
             "--artifact", str(artifact),
             "--dims",

@@ -40,7 +40,7 @@ def _load(name: str, path: Path):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--steps", type=int, default=800)
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--n-files", type=int, default=24)
     parser.add_argument("--data-dir", default="/tmp/whisper_hw_data")
@@ -86,7 +86,19 @@ def main():
             "--batch-size", str(args.batch_size),
             "--max-steps", str(args.steps),
             "--log-every", "10",
+            # hyperparameter record (three failed regimes on hardware):
+            # 1e-3, no warmup  -> diverges by step ~30 at this size;
+            # 3e-4 + warmup    -> stable, ~3x chance train acc by step 500,
+            #                     val still noise;
+            # 1e-3 + warmup    -> embedding collapse (emb->0.08, CE pinned
+            #                     at chance) because the random-init tower
+            #                     has no pretrained features anchoring the
+            #                     L1 term. The emb-loss ramp (CE learns
+            #                     discriminative features first) is the
+            #                     stable fast point.
             "--lr", "1e-3",
+            "--warmup-steps", "100",
+            "--emb-warmup-steps", "400",
             "--dims", json.dumps(dims),
             "--artifact", str(d / "inner_artifact.json"),
         ]
@@ -106,7 +118,7 @@ def main():
     print(
         f"[whisper-hw] {args.steps} steps in {wall:.0f}s, "
         f"loss {series[0]['loss']:.3f}->{series[-1]['loss']:.3f}, "
-        f"val_acc={val.get('accuracy')}; wrote {out}",
+        f"val_acc={val.get('acc')}; wrote {out}",
         flush=True,
     )
 

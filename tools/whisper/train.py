@@ -105,6 +105,25 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--max-steps", type=int, default=40000)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--warmup-steps", type=int, default=0,
+                        help="linear lr warmup from 0 over this many steps "
+                        "(transformer stability at n_audio_state>=384: "
+                        "without warmup the embedding losses diverge within "
+                        "~100 steps; mirrors the reference trainer's "
+                        "warmup scheduler)")
+    parser.add_argument("--emb-warmup-steps", type=int, default=0,
+                        help="ramp the embedding-match L1 weight 0->1 over "
+                        "this many steps. With a RANDOM-INIT audio tower "
+                        "the L1 term collapses audio and phone embeddings "
+                        "to a shared constant before the CE head can learn "
+                        "(observed on the r4 hardware run: emb_loss dove to "
+                        "0.08 while voiced CE pinned at chance and accuracy "
+                        "at 0). The reference never hits this basin because "
+                        "it aligns a PRETRAINED whisper-medium tower "
+                        "(reference tools/whisper/train.py:103); ramping "
+                        "the term lets CE carve discriminative features "
+                        "first. Default 0 = reference-parity constant "
+                        "weight.")
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--dims", default=None,
                         help="JSON dict of AlignedWhisper size overrides, "
@@ -152,12 +171,17 @@ def main(argv=None):
         params = load_pretrained_params(pre.get("params", pre), params)
 
     mask = model.trainable_mask(params)
+    if args.warmup_steps > 0:
+        lr_sched = optax.linear_schedule(0.0, args.lr, args.warmup_steps)
+    else:
+        lr_sched = args.lr
     tx = optax.masked(
-        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr)), mask
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr_sched)),
+        mask,
     )
     opt_state = tx.init(params)
 
-    def loss_fn(params, mels, phones):
+    def loss_fn(params, mels, phones, emb_w=1.0):
         audio_emb = model.apply({"params": params}, mels,
                                 method=model.forward_audio)
         phone_emb = model.apply({"params": params}, phones,
@@ -170,20 +194,33 @@ def main(argv=None):
 
         logits = model.apply({"params": params}, audio_emb,
                              method=model.forward_decoder)
-        ce = optax.softmax_cross_entropy_with_integer_labels(
+        # class-balanced CE: silence/<PAD> frames usually outnumber voiced
+        # frames (a 12 s utterance in the 30 s whisper context is ~40%
+        # voiced), and a plain frame-mean lets the decoder collapse to the
+        # majority <PAD> class (observed: the r4 hardware run descended to
+        # CE 1.25 with 0% voiced-frame accuracy). Average the voiced and
+        # pad populations separately so each carries equal weight.
+        ce_all = optax.softmax_cross_entropy_with_integer_labels(
             logits, phones
-        ).mean()
+        )
+        voiced = (phones != 0).astype(ce_all.dtype)
+        ce_voiced = jnp.sum(ce_all * voiced) / jnp.maximum(voiced.sum(), 1)
+        ce_pad = jnp.sum(ce_all * (1 - voiced)) / jnp.maximum(
+            (1 - voiced).sum(), 1
+        )
+        ce = 0.5 * ce_voiced + 0.5 * ce_pad
 
         acc = jnp.mean(
             (jnp.argmax(logits, -1) == phones) * (phones != 0)
         ) / jnp.maximum(jnp.mean(phones != 0), 1e-9)
 
-        return emb_loss + 0.2 * ce, {"emb_loss": emb_loss, "ce": ce, "acc": acc}
+        total = emb_w * emb_loss + 0.2 * ce
+        return total, {"emb_loss": emb_loss, "ce": ce, "acc": acc}
 
     @jax.jit
-    def train_step(params, opt_state, mels, phones):
+    def train_step(params, opt_state, mels, phones, emb_w):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, mels, phones
+            params, mels, phones, emb_w
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -197,9 +234,15 @@ def main(argv=None):
         mels, phones = zip(
             *(load_sample(f, phonemes, True, rng) for f in batch_files)
         )
+        emb_w = (
+            min(1.0, step / args.emb_warmup_steps)
+            if args.emb_warmup_steps > 0
+            else 1.0
+        )
         params, opt_state, loss, aux = train_step(
             params, opt_state,
             jnp.asarray(np.stack(mels)), jnp.asarray(np.stack(phones)),
+            jnp.float32(emb_w),
         )
         step += 1
         if step % args.log_every == 0:
@@ -247,6 +290,9 @@ def main(argv=None):
             batch_size=args.batch_size,
             wall_seconds=wall,
             steps_per_sec_wall=args.max_steps / max(wall, 1e-9),
+            lr=args.lr,
+            warmup_steps=args.warmup_steps,
+            emb_warmup_steps=args.emb_warmup_steps,
             series=series[:: max(len(series) // 50, 1)],
             loss_first=series[0]["loss"] if series else None,
             loss_last=series[-1]["loss"] if series else None,
