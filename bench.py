@@ -28,9 +28,21 @@ Reported fields (VERDICT r1 weak #4 asked for unambiguous semantics):
 The torch reference publishes no numbers (SURVEY.md §6); vs_baseline is RTF
 relative to real-time (1.0 = real-time synthesis).
 
-Prints ONE JSON line.
+Output contract (VERDICT r4 next #1 — the bench must be un-losable):
+- A CUMULATIVE JSON line is printed (and flushed) after EVERY probe; each
+  line is a complete, valid record that is a superset of the previous one.
+  Consumers should parse the LAST JSON line on stdout — if the process is
+  killed mid-run, the last flushed line still carries every probe that
+  finished. The same line is mirrored to ``BENCH_PARTIAL.json``.
+- ``BENCH_BUDGET_S`` (env, default 600) is a wall-clock budget: probes run
+  headline-first and any probe not yet *started* when the budget is spent
+  is recorded in ``skipped_budget`` instead of silently missing.
+- ``cost_analysis`` compiles (the r4 wall-clock sink) are cached on disk
+  keyed by the lowered program's StableHLO hash, so re-runs skip the
+  duplicate AOT compile entirely.
 """
 
+import hashlib
 import json
 import os
 import time
@@ -96,6 +108,33 @@ def _chip_hbm_gbps() -> float | None:
     return None
 
 
+_FLOPS_CACHE_PATH = os.path.join(
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    "bench_flops_cache.json",
+)
+
+
+def _flops_cache_load() -> dict:
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _flops_cache_put(key: str, value) -> None:
+    try:
+        cache = _flops_cache_load()
+        cache[key] = value
+        os.makedirs(os.path.dirname(_FLOPS_CACHE_PATH), exist_ok=True)
+        tmp = _FLOPS_CACHE_PATH + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cache, f)
+        os.replace(tmp, _FLOPS_CACHE_PATH)
+    except Exception:
+        pass
+
+
 def _compiled_flops(jitted_fn, *args, **kwargs):
     """(FLOPs, HBM bytes accessed) of one call from XLA's compiled cost
     analysis. CAVEAT: cost_analysis counts a ``lax.scan`` body ONCE, not
@@ -106,17 +145,34 @@ def _compiled_flops(jitted_fn, *args, **kwargs):
     these values are LOWER BOUNDS for scan-heavy programs; MFU headline
     fields use the documented analytic model instead, and the XLA values
     are kept under ``*_xla`` for transparency. Returns (flops, bytes) with
-    None for any field the backend does not report."""
+    None for any field the backend does not report.
+
+    The result is cached on disk keyed by the SHA-256 of the lowered
+    StableHLO text (self-invalidating: any code/shape change changes the
+    hash) — the duplicate AOT ``.compile()`` per probe was what pushed the
+    r4 bench past the driver budget (VERDICT r4 weak #1)."""
     try:
-        ca = jitted_fn.lower(*args, **kwargs).compile().cost_analysis()
+        lowered = jitted_fn.lower(*args, **kwargs)
+        key = None
+        try:
+            key = hashlib.sha256(lowered.as_text().encode()).hexdigest()[:32]
+            cached = _flops_cache_load().get(key)
+            if cached is not None:
+                return tuple(cached)
+        except Exception:
+            key = None
+        ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = ca.get("flops")
         by = ca.get("bytes accessed")
-        return (
+        out = (
             float(f) if f and f > 0 else None,
             float(by) if by and by > 0 else None,
         )
+        if key is not None:
+            _flops_cache_put(key, list(out))
+        return out
     except Exception:
         return None, None
 
@@ -172,6 +228,51 @@ def wavenet_flops_per_frame(
     return float(total) * (3.0 if train else 1.0)
 
 
+def _replay_artifacts(result: dict) -> None:
+    """Zero-cost replay of the latest committed proof artifacts (sustained
+    GAN / vocoder / cached-soak runs from tools/hifisinger/prove_training.py
+    and tools/profile_e2e.py). Runs FIRST — file reads only — so even a
+    pathological timeout preserves the sustained-run record."""
+    import glob
+
+    SR = 44100
+    try:
+        path = sorted(glob.glob("docs/artifacts/soak_cached_r*.json"))[-1]
+        with open(path) as f:
+            s = json.load(f)
+        result["train_sustained_steps_per_sec"] = round(
+            s["steps_per_sec_median"], 2
+        )
+        result["train_sustained_mel_frames_per_sec"] = round(
+            s["approx_mel_frames_per_sec"], 1
+        )
+    except Exception:
+        pass
+    for prefix, pattern in (
+        ("gan", "docs/artifacts/gan_run_r*.json"),
+        ("vocoder", "docs/artifacts/vocoder_run_r*.json"),
+    ):
+        try:
+            path = sorted(glob.glob(pattern))[-1]
+            with open(path) as f:
+                g = json.load(f)
+            audio_sps = g.get("audio_sec_per_sec") or (
+                g["steps_per_sec_steady"] * g["batch"] * g["segment_size"] / SR
+            )
+            result.update(
+                {
+                    f"{prefix}_steps_per_sec": round(g["steps_per_sec_steady"], 3),
+                    f"{prefix}_audio_sec_per_sec": round(audio_sps, 2),
+                    f"{prefix}_loss_mel_trend": [
+                        round(g["loss_mel_first_fifth"], 4),
+                        round(g["loss_mel_last_fifth"], 4),
+                    ],
+                }
+            )
+        except Exception:
+            pass
+
+
 def main():
     from fish_diffusion_tpu.models import build_model
     from fish_diffusion_tpu.models.vocoders import NsfHifiGAN, NsfHifiGANGenerator
@@ -179,10 +280,55 @@ def main():
     SR = 44100
     HOP = 512
     BATCH = 4  # headline batch
-    SWEEP = (1, 4, 16)
+    SWEEP = (1, 16)  # headline batch 4 is timed first, separately
     FRAMES = 1024  # ~11.9 s of audio per sample
     LAT_FRAMES = 256  # ~3 s — the TCP/VST serving frame (tcp_api.py)
     HIDDEN = 256
+
+    # 480 s: the budget gates STARTING a probe, so the wall clock can
+    # overrun by one probe's runtime — 480 keeps the cold-cache worst case
+    # under the driver's timeout. With a warm /tmp/jax_cache (any prior
+    # same-host run) every probe finishes well inside the budget.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    t_bench0 = time.perf_counter()
+    result = {
+        "metric": "svc_e2e_rtf_aggregate",
+        "value": None,
+        "unit": "x_realtime",
+        "vs_baseline": None,
+        "denoiser_evals": 100,
+        "batch": BATCH,
+        "frames": FRAMES,
+        "skipped_budget": [],
+    }
+
+    def emit():
+        """Print + flush the cumulative record as one complete JSON line
+        (and mirror it to BENCH_PARTIAL.json). Parse the LAST stdout line."""
+        result["bench_elapsed_s"] = round(time.perf_counter() - t_bench0, 1)
+        line = json.dumps(result)
+        print(line, flush=True)
+        try:
+            tmp = f"BENCH_PARTIAL.json.tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(line + "\n")
+            os.replace(tmp, "BENCH_PARTIAL.json")
+        except Exception:
+            pass
+
+    def budget_left() -> float:
+        return budget_s - (time.perf_counter() - t_bench0)
+
+    def skip(name: str) -> bool:
+        """True -> record the probe as budget-skipped and don't start it."""
+        if budget_left() <= 0:
+            result["skipped_budget"].append(name)
+            return True
+        return False
+
+    # probe 0: free artifact replays, before anything compiles
+    _replay_artifacts(result)
+    emit()
 
     compute_dtype = jnp.bfloat16
 
@@ -311,16 +457,24 @@ def main():
             "sec_per_clip": round(elapsed / n_iters, 4),
         }
 
-    sweep = {str(b): time_e2e(b, FRAMES, 10 if b <= 4 else 5) for b in SWEEP}
-    headline = sweep[str(BATCH)]
+    # probe 1: HEADLINE — batch-4 aggregate RTF. First real work; if the
+    # budget dies after this, the round still has its one headline number.
+    headline = time_e2e(BATCH, FRAMES, 10)
+    sweep = {str(BATCH): headline}
+    result.update(
+        {
+            "value": headline["aggregate_rtf"],
+            "vs_baseline": headline["aggregate_rtf"],
+            "per_stream_rtf": headline["per_stream_rtf"],
+            "mel_frames_per_sec_per_chip": headline["mel_frames_per_sec"],
+        }
+    )
+    emit()
 
     # -- FLOPs/MFU: XLA's own compiled count (exact on TPU), crosschecked
     # against the documented analytic WaveNet model ------------------------
     peak_tflops = _chip_peak_tflops()
     hbm_gbps = _chip_hbm_gbps()
-    flops_e2e, bytes_e2e = _compiled_flops(
-        e2e, params, voc_params, batch, jax.random.PRNGKey(0)
-    )
     denoiser_evals = 1000 // 10  # timesteps / sampler_interval
     flops_e2e_analytic = (
         BATCH * FRAMES * denoiser_evals * wavenet_flops_per_frame()
@@ -341,16 +495,32 @@ def main():
     mfu["inference_tflops_per_sec"] = round(tps_analytic, 1)
     if peak_tflops:
         mfu["inference_mfu"] = round(tps_analytic / peak_tflops, 3)
-    if flops_e2e:
-        mfu["e2e_flops_per_call_xla"] = flops_e2e
-        mfu["inference_tflops_per_sec_xla_lower_bound"] = round(
-            flops_e2e / headline["sec_per_clip"] / 1e12, 1
-        )
-        _roofline(mfu, "inference", flops_e2e, bytes_e2e, peak_tflops, hbm_gbps)
+    result.update(mfu)
+    emit()
 
-    # batch=1 serving latency on a 3 s clip (the realtime TCP/VST frame)
-    lat = time_e2e(1, LAT_FRAMES, 20)
-    b1_latency_ms = 1000.0 * lat["sec_per_clip"]
+    if not skip("inference_xla_cost_analysis"):
+        flops_e2e, bytes_e2e = _compiled_flops(
+            e2e, params, voc_params, batch, jax.random.PRNGKey(0)
+        )
+        if flops_e2e:
+            mfu["e2e_flops_per_call_xla"] = flops_e2e
+            mfu["inference_tflops_per_sec_xla_lower_bound"] = round(
+                flops_e2e / headline["sec_per_clip"] / 1e12, 1
+            )
+            _roofline(
+                mfu, "inference", flops_e2e, bytes_e2e, peak_tflops, hbm_gbps
+            )
+        result.update(mfu)
+        emit()
+
+    # probe 2: batch=1 serving latency on a 3 s clip (realtime TCP/VST frame)
+    b1_latency_ms = None
+    if not skip("b1_latency"):
+        lat = time_e2e(1, LAT_FRAMES, 20)
+        b1_latency_ms = 1000.0 * lat["sec_per_clip"]
+        result["b1_latency_ms_3s_clip"] = round(b1_latency_ms, 1)
+        result["b1_rtf_3s_clip"] = lat["aggregate_rtf"]
+        emit()
 
     # shallow-diffusion fast path (reference docs/pages/quality.md command
     # block: skip_steps=970 + sampler_interval=5 -> 6 denoiser evals,
@@ -392,134 +562,114 @@ def main():
         elapsed = time.perf_counter() - start
         return n_iters * b * frames * HOP / SR / elapsed
 
-    shallow = {
-        "shallow_rtf_aggregate": round(time_shallow(BATCH, FRAMES, 10), 1),
-        "shallow_b1_latency_ms_3s_clip": round(
-            1000.0 * 1 * LAT_FRAMES * HOP / SR / time_shallow(1, LAT_FRAMES, 20),
-            1,
-        ),
-    }
-
-    train_fps, train_flops, train_bytes = _bench_training()
-    train_flops_analytic = 20 * 512 * wavenet_flops_per_frame(train=True)
-    mfu["train_flops_per_step_analytic"] = train_flops_analytic
-    # train_fps is mel-frames/s; steps/s = train_fps / (B*T). Headline
-    # TFLOP/s + MFU from the analytic model — cost_analysis counts the
-    # 20-layer WaveNet scan body once (17x low here, see _compiled_flops).
-    t_tps_analytic = train_flops_analytic * train_fps / (20 * 512) / 1e12
-    mfu["train_tflops_per_sec"] = round(t_tps_analytic, 1)
-    if peak_tflops:
-        mfu["train_mfu"] = round(t_tps_analytic / peak_tflops, 3)
-    if train_flops:
-        mfu["train_flops_per_step_xla"] = train_flops
-        mfu["train_tflops_per_sec_xla_lower_bound"] = round(
-            train_flops * train_fps / (20 * 512) / 1e12, 1
-        )
-        _roofline(mfu, "train", train_flops, train_bytes, peak_tflops, hbm_gbps)
-
-    gan = {}
-    try:
-        gan.update(_bench_preprocess())
-    except Exception as e:
-        gan["preprocess_probe_error"] = str(e)[:200]
-    # live ~30-step probes of both adversarial regimes (VERDICT r2 next #3:
-    # BENCH must catch regressions in the GAN/vocoder step, not replay them)
-    try:
-        g_sps, g_flops, g_bytes = _bench_gan_probe()
-        gan["gan_steps_per_sec_probe"] = round(g_sps, 3)
-        if g_flops:
-            g_tps = g_flops * g_sps / 1e12
-            mfu["gan_flops_per_step_xla"] = g_flops
-            mfu["gan_tflops_per_sec"] = round(g_tps, 1)
-            if peak_tflops:
-                mfu["gan_mfu"] = round(g_tps / peak_tflops, 3)
-            _roofline(mfu, "gan", g_flops, g_bytes, peak_tflops, hbm_gbps)
-    except Exception as e:
-        gan["gan_steps_per_sec_probe_error"] = str(e)[:200]
-    try:
-        v_sps, v_flops, v_bytes = _bench_vocoder_probe()
-        gan["vocoder_steps_per_sec_probe"] = round(v_sps, 3)
-        if v_flops:
-            v_tps = v_flops * v_sps / 1e12
-            mfu["vocoder_flops_per_step_xla"] = v_flops
-            mfu["vocoder_tflops_per_sec"] = round(v_tps, 1)
-            if peak_tflops:
-                mfu["vocoder_mfu"] = round(v_tps / peak_tflops, 3)
-            _roofline(mfu, "vocoder", v_flops, v_bytes, peak_tflops, hbm_gbps)
-    except Exception as e:
-        gan["vocoder_steps_per_sec_probe_error"] = str(e)[:200]
-
-    import glob
-
-    # sustained diffusion-training replay: the cached-soak artifact is the
-    # full-stack number (loader -> HBM batch cache -> validation +
-    # checkpointing in the loop), complementing the isolated-step probe in
-    # train_mel_frames_per_sec_per_chip
-    try:
-        path = sorted(glob.glob("docs/artifacts/soak_cached_r*.json"))[-1]
-        with open(path) as f:
-            s = json.load(f)
-        gan["train_sustained_steps_per_sec"] = round(
-            s["steps_per_sec_median"], 2
-        )
-        gan["train_sustained_mel_frames_per_sec"] = round(
-            s["approx_mel_frames_per_sec"], 1
-        )
-    except Exception:
-        pass
-
-    for prefix, pattern in (
-        ("gan", "docs/artifacts/gan_run_r*.json"),
-        ("vocoder", "docs/artifacts/vocoder_run_r*.json"),
-    ):
+    # probe 3: shallow-diffusion fast path
+    if not skip("shallow"):
         try:
-            path = sorted(glob.glob(pattern))[-1]
-            with open(path) as f:
-                g = json.load(f)
-            audio_sps = g.get("audio_sec_per_sec") or (
-                g["steps_per_sec_steady"] * g["batch"] * g["segment_size"] / SR
+            result["shallow_rtf_aggregate"] = round(
+                time_shallow(BATCH, FRAMES, 10), 1
             )
-            gan.update(
-                {
-                    f"{prefix}_steps_per_sec": round(g["steps_per_sec_steady"], 3),
-                    f"{prefix}_audio_sec_per_sec": round(audio_sps, 2),
-                    f"{prefix}_loss_mel_trend": [
-                        round(g["loss_mel_first_fifth"], 4),
-                        round(g["loss_mel_last_fifth"], 4),
-                    ],
-                }
+            result["shallow_b1_latency_ms_3s_clip"] = round(
+                1000.0
+                * LAT_FRAMES
+                * HOP
+                / SR
+                / time_shallow(1, LAT_FRAMES, 20),
+                1,
             )
-        except Exception:
-            pass
+        except Exception as e:
+            result["shallow_probe_error"] = str(e)[:200]
+        emit()
 
-    print(
-        json.dumps(
-            {
-                "metric": "svc_e2e_rtf_aggregate",
-                "value": headline["aggregate_rtf"],
-                "unit": "x_realtime",
-                "vs_baseline": headline["aggregate_rtf"],
-                "per_stream_rtf": headline["per_stream_rtf"],
-                "mel_frames_per_sec_per_chip": headline["mel_frames_per_sec"],
-                "b1_latency_ms_3s_clip": round(b1_latency_ms, 1),
-                "b1_rtf_3s_clip": lat["aggregate_rtf"],
-                "batch_sweep": {
-                    k: {
-                        "aggregate_rtf": v["aggregate_rtf"],
-                        "per_stream_rtf": v["per_stream_rtf"],
-                    }
-                    for k, v in sweep.items()
-                },
-                "train_mel_frames_per_sec_per_chip": round(train_fps, 1),
-                **shallow,
-                **mfu,
-                **gan,
-                "denoiser_evals": 100,
-                "batch": BATCH,
-                "frames": FRAMES,
-            }
-        )
-    )
+    # probe 4: batch sweep (1, 16) around the already-timed headline
+    for b in SWEEP:
+        if not skip(f"batch_sweep_{b}"):
+            try:
+                sweep[str(b)] = time_e2e(b, FRAMES, 10 if b <= 4 else 5)
+            except Exception as e:
+                result[f"batch_sweep_{b}_error"] = str(e)[:200]
+    result["batch_sweep"] = {
+        k: {
+            "aggregate_rtf": v["aggregate_rtf"],
+            "per_stream_rtf": v["per_stream_rtf"],
+        }
+        for k, v in sorted(sweep.items(), key=lambda kv: int(kv[0]))
+    }
+    emit()
+
+    # probe 5: diffusion training throughput + MFU
+    if not skip("train"):
+        try:
+            train_fps, train_flops, train_bytes = _bench_training()
+            result["train_mel_frames_per_sec_per_chip"] = round(train_fps, 1)
+            train_flops_analytic = 20 * 512 * wavenet_flops_per_frame(train=True)
+            mfu["train_flops_per_step_analytic"] = train_flops_analytic
+            # train_fps is mel-frames/s; steps/s = train_fps / (B*T). Headline
+            # TFLOP/s + MFU from the analytic model — cost_analysis counts the
+            # 20-layer WaveNet scan body once (17x low, see _compiled_flops).
+            t_tps_analytic = train_flops_analytic * train_fps / (20 * 512) / 1e12
+            mfu["train_tflops_per_sec"] = round(t_tps_analytic, 1)
+            if peak_tflops:
+                mfu["train_mfu"] = round(t_tps_analytic / peak_tflops, 3)
+            if train_flops:
+                mfu["train_flops_per_step_xla"] = train_flops
+                mfu["train_tflops_per_sec_xla_lower_bound"] = round(
+                    train_flops * train_fps / (20 * 512) / 1e12, 1
+                )
+                _roofline(
+                    mfu, "train", train_flops, train_bytes, peak_tflops, hbm_gbps
+                )
+        except Exception as e:
+            result["train_probe_error"] = str(e)[:200]
+        result.update(mfu)
+        emit()
+
+    # probes 6-7: live ~30-step probes of both adversarial regimes (VERDICT
+    # r2 next #3: BENCH must catch regressions in the GAN/vocoder step, not
+    # replay them). The replayed sustained numbers were emitted at probe 0.
+    if not skip("gan_probe"):
+        try:
+            g_sps, g_flops, g_bytes = _bench_gan_probe()
+            result["gan_steps_per_sec_probe"] = round(g_sps, 3)
+            if g_flops:
+                g_tps = g_flops * g_sps / 1e12
+                mfu["gan_flops_per_step_xla"] = g_flops
+                mfu["gan_tflops_per_sec"] = round(g_tps, 1)
+                if peak_tflops:
+                    mfu["gan_mfu"] = round(g_tps / peak_tflops, 3)
+                _roofline(mfu, "gan", g_flops, g_bytes, peak_tflops, hbm_gbps)
+        except Exception as e:
+            result["gan_steps_per_sec_probe_error"] = str(e)[:200]
+        result.update(mfu)
+        emit()
+
+    if not skip("vocoder_probe"):
+        try:
+            v_sps, v_flops, v_bytes = _bench_vocoder_probe()
+            result["vocoder_steps_per_sec_probe"] = round(v_sps, 3)
+            if v_flops:
+                v_tps = v_flops * v_sps / 1e12
+                mfu["vocoder_flops_per_step_xla"] = v_flops
+                mfu["vocoder_tflops_per_sec"] = round(v_tps, 1)
+                if peak_tflops:
+                    mfu["vocoder_mfu"] = round(v_tps / peak_tflops, 3)
+                _roofline(
+                    mfu, "vocoder", v_flops, v_bytes, peak_tflops, hbm_gbps
+                )
+        except Exception as e:
+            result["vocoder_steps_per_sec_probe_error"] = str(e)[:200]
+        result.update(mfu)
+        emit()
+
+    # probe 8: preprocessing stack throughput
+    if not skip("preprocess"):
+        try:
+            result.update(_bench_preprocess())
+        except Exception as e:
+            result["preprocess_probe_error"] = str(e)[:200]
+        emit()
+
+    # final line — identical shape to every partial line, now complete
+    emit()
 
 
 def _bench_preprocess(seconds: int = 10, iters: int = 10):

@@ -10,19 +10,24 @@ Capability parity with the reference
   this image and none map to TPU — so the extractors here are *native
   batched JAX implementations* of the same algorithms:
 
-  - ``YinPitchExtractor``      — YIN (de Cheveigné & Kawahara 2002):
+  - ``YinPitchExtractor``      — plain YIN (de Cheveigné & Kawahara 2002):
     FFT-based difference function + cumulative-mean normalization +
-    absolute-threshold dip picking + parabolic interpolation. This is the
-    same core as librosa's pyin (minus the HMM smoothing).
+    absolute-threshold dip picking + parabolic interpolation.
   - ``AutocorrPitchExtractor`` — praat-style normalized autocorrelation
     (Boersma 1993 ``to_pitch_ac`` family): hann-windowed frame ACF divided
-    by the window ACF, peak picking with a voicing threshold.
-
-  Legacy registry names (ParselMouth/Harvest/Dio/Pyin) are registered as
-  aliases onto these so reference configs run unchanged; the docstring of
-  each alias states the substitution, and ``docs/pages/quality.md`` carries
-  a measured f0-deviation study vs the learned extractors. ``Crepe`` is NOT
-  an alias: ``extractors/crepe.py`` is a real flax port of the CREPE net.
+    by the window ACF, multi-candidate peak picking, and (``viterbi=True``,
+    the default) praat's candidate path cost minimized by a Viterbi pass —
+    ``ParselMouthPitchExtractor`` is its registered alias.
+  - ``PyinPitchExtractor``     — FULL probabilistic YIN (Mauch & Dixon
+    2014, = librosa.pyin, the reference's ``pyin.py``): multi-threshold
+    YIN candidates marginalized under a Beta(2, 18) threshold prior +
+    Viterbi decoding over a (pitch-bin x voiced/unvoiced) HMM — including
+    the HMM smoothing, implemented as a ``lax.scan``.
+  - Harvest / DIO+StoneMask live in ``extractors/world.py`` (native WORLD
+    algorithm implementations); ``Crepe`` is a real flax port of the CREPE
+    net in ``extractors/crepe.py``. All register themselves under the
+    reference registry names so reference configs run unchanged, and
+    ``docs/pages/quality.md`` carries a measured f0-deviation study.
 
 Everything runs batched on device: frames are cut with a strided reshape,
 ACFs are batched real FFTs — one jit per (sr, length-bucket).

@@ -537,10 +537,22 @@ class Trainer:
                 step, {f"wall_{k}": v for k, v in wall.items() if v is not None}
             )
 
-        # max_epochs exhausted: final validation + checkpoint
+        # max_epochs exhausted: final validation + checkpoint. Runs after
+        # the finally block finalized the breakdown, so attribute its cost
+        # explicitly (validation_s/checkpoint_s/total_s stay exhaustive:
+        # total_s == setup+first_step+train_steps+validation+checkpoint).
+        t_v0 = time.perf_counter()
         val_loss = self.validate(state, valid_loader, step)
+        t_c0 = time.perf_counter()
         self.ckpt.save(state, {"valid_loss": val_loss}, force=True)
         self.ckpt.wait()
+        t_end = time.perf_counter()
+        wall["validation_s"] += t_c0 - t_v0
+        wall["checkpoint_s"] += t_end - t_c0
+        wall["total_s"] += t_end - t_v0
+        self.logger.log_scalars(
+            step, {f"wall_{k}": v for k, v in wall.items() if v is not None}
+        )
         return state
 
     # -- validation -------------------------------------------------------

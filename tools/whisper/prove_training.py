@@ -9,6 +9,13 @@ Task: each phone is a pure tone at a distinct frequency (frame-separable),
 so frame accuracy well above chance proves the CE head, masking, and the
 jitted masked-optimizer step all work at scale on hardware.
 
+SCOPE: this proof demonstrates TRAINING DYNAMICS (loss descent, voiced-frame
+accuracy above chance on the train distribution, stable optimizer behavior
+at production dims) — not held-out generalization. Generalization is pinned
+at fixture scale by tests/test_whisper_train.py (val acc > 0 asserted); here
+the corpus is tiny (default 24 synthetic files) so the held-out accuracy is
+high-variance even with several files held out (``--val-frac`` below).
+
 Matches reference ``tools/whisper/train.py:29-188``.
 
 Usage (single TPU chip):
@@ -99,6 +106,9 @@ def main():
             "--lr", "1e-3",
             "--warmup-steps", "100",
             "--emb-warmup-steps", "400",
+            # hold out ~4 of 24 files (not 1) so the recorded val metrics
+            # average over more than a single fixture (ADVICE r4)
+            "--val-frac", "0.15",
             "--dims", json.dumps(dims),
             "--artifact", str(d / "inner_artifact.json"),
         ]

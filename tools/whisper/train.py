@@ -124,6 +124,22 @@ def main(argv=None):
                         "the term lets CE carve discriminative features "
                         "first. Default 0 = reference-parity constant "
                         "weight.")
+    parser.add_argument("--plain-ce", action="store_true",
+                        help="use the reference's plain frame-mean "
+                        "cross-entropy (reference tools/whisper/train.py "
+                        "loss) instead of the default class-balanced CE. "
+                        "The balanced CE (voiced and <PAD> frame "
+                        "populations averaged separately) is a deliberate "
+                        "STANDING DEVIATION from the reference: with "
+                        "~60% <PAD> frames a plain mean lets the decoder "
+                        "collapse to the majority class (observed on the "
+                        "r4 hardware run: CE fell to 1.25 with 0% "
+                        "voiced-frame accuracy). Pass this flag for "
+                        "strict loss parity.")
+    parser.add_argument("--val-frac", type=float, default=0.02,
+                        help="fraction of files held out for validation "
+                        "(at tiny corpus sizes raise this so the held-out "
+                        "accuracy is measured on more than one file)")
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--dims", default=None,
                         help="JSON dict of AlignedWhisper size overrides, "
@@ -149,7 +165,7 @@ def main(argv=None):
     files = sorted(Path(args.data).rglob("*.TextGrid*"))
     rng = random.Random(42)
     rng.shuffle(files)
-    split = max(int(len(files) * 0.98), 1)
+    split = max(int(len(files) * (1.0 - args.val_frac)), 1)
     train_files, val_files = files[:split], files[split:]
     assert train_files, f"no TextGrid files under {args.data}"
 
@@ -194,21 +210,29 @@ def main(argv=None):
 
         logits = model.apply({"params": params}, audio_emb,
                              method=model.forward_decoder)
-        # class-balanced CE: silence/<PAD> frames usually outnumber voiced
-        # frames (a 12 s utterance in the 30 s whisper context is ~40%
-        # voiced), and a plain frame-mean lets the decoder collapse to the
-        # majority <PAD> class (observed: the r4 hardware run descended to
-        # CE 1.25 with 0% voiced-frame accuracy). Average the voiced and
-        # pad populations separately so each carries equal weight.
+        # Default: class-balanced CE — a deliberate standing deviation from
+        # the reference's plain frame-mean F.cross_entropy (gate with
+        # --plain-ce for strict parity). Silence/<PAD> frames usually
+        # outnumber voiced frames (a 12 s utterance in the 30 s whisper
+        # context is ~40% voiced), and a plain frame-mean lets the decoder
+        # collapse to the majority <PAD> class (observed: the r4 hardware
+        # run descended to CE 1.25 with 0% voiced-frame accuracy). Average
+        # the voiced and pad populations separately so each carries equal
+        # weight.
         ce_all = optax.softmax_cross_entropy_with_integer_labels(
             logits, phones
         )
-        voiced = (phones != 0).astype(ce_all.dtype)
-        ce_voiced = jnp.sum(ce_all * voiced) / jnp.maximum(voiced.sum(), 1)
-        ce_pad = jnp.sum(ce_all * (1 - voiced)) / jnp.maximum(
-            (1 - voiced).sum(), 1
-        )
-        ce = 0.5 * ce_voiced + 0.5 * ce_pad
+        if args.plain_ce:
+            ce = jnp.mean(ce_all)
+        else:
+            voiced = (phones != 0).astype(ce_all.dtype)
+            ce_voiced = jnp.sum(ce_all * voiced) / jnp.maximum(
+                voiced.sum(), 1
+            )
+            ce_pad = jnp.sum(ce_all * (1 - voiced)) / jnp.maximum(
+                (1 - voiced).sum(), 1
+            )
+            ce = 0.5 * ce_voiced + 0.5 * ce_pad
 
         acc = jnp.mean(
             (jnp.argmax(logits, -1) == phones) * (phones != 0)
