@@ -133,6 +133,12 @@ class WaveNet(nn.Module):
     dilation_cycle: Optional[int] = None
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # lax.scan unroll factor for the residual stack: >1 lets XLA fuse
+    # consecutive blocks (fewer carry round-trips through HBM per step) at
+    # the cost of a proportionally larger program. Must divide
+    # residual_layers. Measured on the r5 TPU run (B=20 T=512 train step):
+    # see docs/artifacts/train_mfu_sweep_r05.json.
+    scan_unroll: int = 1
 
     def project_conditioner(
         self, conditioner: jax.Array, cond_masks: Optional[jax.Array] = None
@@ -208,6 +214,7 @@ class WaveNet(nn.Module):
             split_rngs={"params": True},
             in_axes=(0, 0 if cond_is_projected else nn.broadcast, nn.broadcast),
             length=self.residual_layers,
+            unroll=self.scan_unroll,
         )
 
         skip0 = jnp.zeros_like(x)

@@ -36,6 +36,10 @@ def test_converted_wavenet_matches_torch():
         use_linear_bias=True,
         dilation_cycle=CYCLE,
     )
+    # the reference zero-initializes output_projection (wavenet.py:192),
+    # which would make this parity check vacuous (both nets output exactly
+    # 0) — re-randomize it so the comparison is discriminative
+    torch.nn.init.normal_(tnet.output_projection.conv.weight, std=0.05)
     tnet.eval()
 
     rng = np.random.default_rng(1)
@@ -88,4 +92,5 @@ def test_converted_wavenet_matches_torch():
         )
     j_out = np.swapaxes(np.asarray(j_out), 1, 2)
 
+    assert np.abs(t_out).max() > 1e-3, "torch output is ~0: vacuous check"
     np.testing.assert_allclose(j_out, t_out, atol=1e-4, rtol=1e-3)

@@ -123,14 +123,26 @@ def build_corpus(work: Path, n_train: int, n_valid: int, seed: int = 0):
 # ---------------------------------------------------------------------------
 
 
-def write_preprocess_config(work: Path) -> Path:
+# content extractors for the proof. "hubert" (default, VERDICT r4 next #4)
+# is the REAL full-depth 768x12 HubertSoft tower + 256-d soft-unit
+# projection — random-init (no published weights exist in this image) but
+# deterministic (PRNGKey(0)), so preprocessing and inference see identical
+# features. "cmvn" is the weight-free stand-in the r4 proof used.
+_EXTRACTORS = {
+    "hubert": 'dict(type="HubertSoft", random_init=True)',
+    "cmvn": 'dict(type="CMVNMelExtractor")',
+}
+_EXTRACTOR_DIM = {"hubert": 256, "cmvn": 128}
+
+
+def write_preprocess_config(work: Path, extractor: str = "hubert") -> Path:
     cfg = work / "cfg_pre.py"
     cfg.write_text(
         f"""
-# preprocessing-only view: CMVN content features + native Harvest f0.
+# preprocessing-only view: content features + native Harvest f0.
 # One mel convention everywhere (natural log), shared with the vocoder.
 preprocessing = dict(
-    text_features_extractor=dict(type="CMVNMelExtractor"),
+    text_features_extractor={_EXTRACTORS[extractor]},
     pitch_extractor=dict(type="HarvestPitchExtractor", keep_zeros=False),
 )
 model = dict(
@@ -187,7 +199,7 @@ trainer = dict(
 
 def write_train_config(
     work: Path, spec_min: float, spec_max: float, steps: int,
-    val_interval: int, smoke: bool,
+    val_interval: int, smoke: bool, extractor: str = "hubert",
 ) -> Path:
     cfg = work / "cfg_train.py"
     smoke_diffusion = (
@@ -232,12 +244,12 @@ dataset = dict(
 )
 
 preprocessing = dict(
-    text_features_extractor=dict(_delete_=True, type="CMVNMelExtractor"),
+    text_features_extractor=dict(_delete_=True, **{_EXTRACTORS[extractor]}),
     pitch_extractor=dict(type="HarvestPitchExtractor", keep_zeros=False),
 )
 
 model = dict(
-    text_encoder=dict(input_size=128),
+    text_encoder=dict(input_size={_EXTRACTOR_DIM[extractor]}),
     speaker_encoder=dict(input_size=len(speaker_mapping)),
     diffusion=dict(
         spec_min=[{spec_min}],
@@ -519,6 +531,11 @@ def main():
     parser.add_argument("--skip-vocoder", action="store_true")
     parser.add_argument("--skip-diffusion", action="store_true")
     parser.add_argument("--fresh", action="store_true")
+    parser.add_argument("--extractor", choices=("hubert", "cmvn"),
+                        default="hubert",
+                        help="content feature stack: the real full-depth "
+                        "HubertSoft tower (random-init, deterministic) or "
+                        "the weight-free CMVN stand-in the r4 proof used")
     args = parser.parse_args()
 
     if args.smoke:
@@ -544,7 +561,7 @@ def main():
           f"{len(manifest)} conversion pairs)", flush=True)
 
     # 2. preprocess (real CLI) ----------------------------------------------
-    cfg_pre = write_preprocess_config(work)
+    cfg_pre = write_preprocess_config(work, args.extractor)
     t0 = time.perf_counter()
     if not args.skip_preprocess:
         for split in ("train", "valid"):
@@ -580,7 +597,8 @@ def main():
     # 4. diffusion (real CLI) -------------------------------------------------
     smin, smax = compute_spec_stats(work / "dataset" / "train")
     cfg_train = write_train_config(
-        work, smin, smax, args.diffusion_steps, args.val_interval, args.smoke
+        work, smin, smax, args.diffusion_steps, args.val_interval, args.smoke,
+        extractor=args.extractor,
     )
     t0 = time.perf_counter()
     if not args.skip_diffusion:
@@ -613,9 +631,14 @@ def main():
             n_train_per_speaker=args.n_train,
             n_valid_per_speaker=args.n_valid,
             n_eval_phrases=EVAL_PHRASES,
-            content_features="CMVNMelExtractor (energy-gated per-utterance "
-                             "CMVN of log-mel; weight-free stand-in for the "
-                             "network-gated HuBERT towers)",
+            content_features=(
+                "HubertSoft full-depth 768x12 tower + 256-d soft-unit "
+                "projection, random-init PRNGKey(0) (no published weights "
+                "in this image; the NETWORK stack is the real one)"
+                if args.extractor == "hubert"
+                else "CMVNMelExtractor (energy-gated per-utterance CMVN of "
+                "log-mel; weight-free stand-in)"
+            ),
         ),
         spec_stats=[smin, smax],
         diffusion_steps=args.diffusion_steps,

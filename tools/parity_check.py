@@ -257,6 +257,11 @@ def _make_random_diffusion_sd(ref_dir, production: bool):
             residual_layers=4,
         )
     tnet = ref.WaveNet(use_linear_bias=True, dilation_cycle=4, **dims)
+    # the reference zero-initializes the final output projection
+    # (reference wavenet.py:192), which makes a random-init parity check
+    # vacuous (both nets output exactly 0) — re-randomize it so the
+    # comparison exercises the whole converted stack discriminatively
+    torch.nn.init.normal_(tnet.output_projection.conv.weight, std=0.05)
     return {
         f"diffusion.denoise_fn.{k}": v.numpy()
         for k, v in tnet.state_dict().items()

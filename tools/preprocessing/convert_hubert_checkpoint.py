@@ -144,6 +144,13 @@ def convert_hf_hubert(sd: dict, heads: int = None) -> dict:
             },
         }
 
+    # projection heads, when present in the source checkpoint (ContentVec
+    # final_proj, reference content_vec.py:13; hubert-soft proj)
+    for key, name in (("final_proj", "final_proj"), ("proj", "soft_proj")):
+        wk, bk = f"{key}.weight", f"{key}.bias"
+        if wk in sd:
+            params[name] = {"kernel": _d(sd[wk]), "bias": np.asarray(sd[bk])}
+
     return params
 
 
@@ -170,14 +177,14 @@ def main():
         # bshall layout prefixes differ slightly; normalize to HF-ish keys
         sd = {k.replace("hubert.", ""): v for k, v in sd.items()}
 
+    if args.final_proj_key != "final_proj":
+        # normalize a non-standard projection-head key so the library
+        # conversion below picks it up
+        for suffix in ("weight", "bias"):
+            k = f"{args.final_proj_key}.{suffix}"
+            if k in sd:
+                sd[f"final_proj.{suffix}"] = sd[k]
     params = convert_hf_hubert(sd)
-
-    # projection heads (ContentVec final_proj / hubert-soft proj)
-    for key in (args.final_proj_key, "proj"):
-        wk, bk = f"{key}.weight", f"{key}.bias"
-        if wk in sd:
-            name = "final_proj" if "final" in key else "soft_proj"
-            params[name] = {"kernel": _d(sd[wk]), "bias": np.asarray(sd[bk])}
 
     with open(args.output, "wb") as f:
         pickle.dump(params, f)
