@@ -9,7 +9,7 @@ Conventions (TPU-first, differ from the torch reference):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,23 +88,45 @@ def shift_seq(x: jax.Array, shift: jax.Array) -> jax.Array:
     return jnp.where(valid, rolled, 0)
 
 
+def _static_shift(x: jax.Array, shift: int) -> jax.Array:
+    """Zero-filled shift along axis 1 by a STATIC amount: a pad + slice
+    XLA fuses into the consuming matmul's operand load. Same semantics as
+    ``shift_seq`` for a concrete shift."""
+    T = x.shape[1]
+    if shift == 0:
+        return x
+    if shift > 0:
+        return jnp.pad(x, ((0, 0), (shift, 0), (0, 0)))[:, :T]
+    return jnp.pad(x, ((0, 0), (0, -shift), (0, 0)))[:, -shift:]
+
+
 class DilatedConvK3(nn.Module):
     """Kernel-3 dilated 1-D conv expressed as three shifted matmuls.
 
     out[t] = W_l x[t-d] + W_c x[t] + W_r x[t+d]  (zero padding)
 
-    The dilation ``d`` may be a traced scalar, so all layers of a dilation
-    cycle share one compiled body under ``lax.scan``. Each matmul hits the
-    MXU; XLA fuses the adds.  Matches torch ``Conv1d(k=3, padding=d,
-    dilation=d)`` semantics (reference wavenet.py:88-95).
+    All layers of a dilation cycle share one compiled body under
+    ``lax.scan``. When the cycle's dilation VALUES are known statically
+    (``dilation_values`` set; always true for the configs — dilation is
+    ``2**(i % cycle)``), the per-step scan input is the cycle INDEX and the
+    shifts are a ``lax.switch`` over branches with STATIC pad/slice shifts:
+    measured 32.4 -> 25.7 ms per 20x512 train step on v5e vs the dynamic
+    roll+mask path (docs/artifacts/train_variants_r05.json — the traced
+    roll was 21% of the step). With ``dilation_values=None`` the dilation
+    is treated as a traced scalar via ``shift_seq`` (legacy path). Each
+    matmul hits the MXU; XLA fuses the adds. Matches torch ``Conv1d(k=3,
+    padding=d, dilation=d)`` semantics (reference wavenet.py:88-95).
     """
 
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    dilation_values: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, dilation: jax.Array):
+        """``dilation``: the dilation value (legacy) or, when
+        ``dilation_values`` is set, the INDEX into it."""
         dense = lambda name: nn.Dense(
             self.features,
             use_bias=False,
@@ -112,9 +134,27 @@ class DilatedConvK3(nn.Module):
             dtype=self.dtype,
             name=name,
         )
-        left = dense("w_left")(shift_seq(x, dilation))
+        if self.dilation_values is not None:
+            vals = tuple(int(d) for d in self.dilation_values)
+            if len(vals) == 1:
+                left_in = _static_shift(x, vals[0])
+                right_in = _static_shift(x, -vals[0])
+            else:
+                left_in, right_in = jax.lax.switch(
+                    dilation,
+                    [
+                        (lambda x, d=d: (_static_shift(x, d),
+                                         _static_shift(x, -d)))
+                        for d in vals
+                    ],
+                    x,
+                )
+        else:
+            left_in = shift_seq(x, dilation)
+            right_in = shift_seq(x, -dilation)
+        left = dense("w_left")(left_in)
         center = dense("w_center")(x)
-        right = dense("w_right")(shift_seq(x, -dilation))
+        right = dense("w_right")(right_in)
         out = left + center + right
         if self.use_bias:
             bias = self.param(

@@ -18,9 +18,14 @@ Notes:
   and updated once per discriminator forward in the D phase, exactly the
   ``torch.nn.utils.spectral_norm`` train-mode semantics
   (``tests/test_spectral_norm.py`` pins parity)
-- ``nan_to_num`` guards from the reference are unnecessary under f32
-  discriminators (we keep discriminators in f32 as the reference keeps GAN
-  training at "32-true" precision, configs/svc_hifisinger_v2.py:112)
+- discriminator COMPUTE dtype is configurable (``dtype`` on every class;
+  params, weight/spectral-norm kernel math, and loss reductions stay f32).
+  Default f32 matches the reference's "32-true" GAN precision
+  (configs/svc_hifisinger_v2.py:112); bf16 halves the discriminators' HBM
+  traffic — the dominant bytes of the v1 trainer step
+  (docs/artifacts/vocoder_step_attribution_r05.json) — and keeps f32's
+  exponent range, so the reference's fp16-era ``nan_to_num`` guards stay
+  unnecessary either way
 """
 
 from __future__ import annotations
@@ -71,13 +76,14 @@ def spectral_norm_kernel(kernel, u, v, update: bool, eps: float = 1e-12):
     return kernel / sigma, u, v
 
 
-def _wn_conv2d(features, kernel, stride, padding, name):
+def _wn_conv2d(features, kernel, stride, padding, name, dtype=jnp.float32):
     conv = nn.Conv(
         features,
         kernel_size=kernel,
         strides=stride,
         padding=padding,
         kernel_init=nn.initializers.normal(0.01),
+        dtype=dtype,
         name=f"{name}_conv",
     )
     return nn.WeightNorm(conv, name=name)
@@ -92,6 +98,7 @@ class DiscriminatorP(nn.Module):
     stride: int = 3
     channels: Optional[Sequence[int]] = None
     leaky_relu_slope: float = 0.2
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -103,7 +110,9 @@ class DiscriminatorP(nn.Module):
             n_pad = self.period - (t % self.period)
             x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
             t = t + n_pad
-        x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
+        x = x.reshape(b, t // self.period, self.period, 1).astype(
+            self.dtype
+        )  # NHWC
 
         fmap = []
         h = x
@@ -115,11 +124,14 @@ class DiscriminatorP(nn.Module):
                 stride,
                 [(self.kernel_size // 2, self.kernel_size // 2), (0, 0)],
                 f"convs_{i}",
+                dtype=self.dtype,
             )(h)
             h = nn.leaky_relu(h, self.leaky_relu_slope)
             fmap.append(h)
 
-        h = _wn_conv2d(1, (3, 1), (1, 1), [(1, 1), (0, 0)], "conv_post")(h)
+        h = _wn_conv2d(
+            1, (3, 1), (1, 1), [(1, 1), (0, 0)], "conv_post", dtype=self.dtype
+        )(h)
         fmap.append(h)
         return h.reshape(b, -1), fmap
 
@@ -127,12 +139,15 @@ class DiscriminatorP(nn.Module):
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     channels: Optional[Sequence[int]] = None
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         scores, fmaps = [], []
         for p in self.periods:
-            s, f = DiscriminatorP(p, channels=self.channels, name=f"disc_p{p}")(x)
+            s, f = DiscriminatorP(
+                p, channels=self.channels, dtype=self.dtype, name=f"disc_p{p}"
+            )(x)
             scores.append(s)
             fmaps.append(f)
         return scores, fmaps
@@ -152,6 +167,7 @@ class DiscriminatorS(nn.Module):
     leaky_relu_slope: float = 0.1
     blocked: bool = True
     use_spectral_norm: bool = False
+    dtype: Dtype = jnp.float32
 
     # (ch, k, stride, groups, pad)
     _SPECS = (
@@ -210,7 +226,7 @@ class DiscriminatorS(nn.Module):
 
         sn = self.use_spectral_norm
 
-        h = x[:, :, None]
+        h = x[:, :, None].astype(self.dtype)
         fmap = []
         for i, (ch, k, s, g, p) in enumerate(self._SPECS):
             s_in = self._BLOCK_S_IN.get(i) if self.blocked else None
@@ -240,14 +256,14 @@ class DiscriminatorS(nn.Module):
                 if rem:
                     h = jnp.pad(h, ((0, 0), (0, rem), (0, 0)))
                 h = blocked_apply_grouped(
-                    h, w, bias, k, s, g, s_in, jnp.float32
+                    h, w, bias, k, s, g, s_in, self.dtype
                 )[:, :t_out]
             elif sn:
                 h = jax.lax.conv_general_dilated(
-                    h, w, (s,), [(p, p)],
+                    h, w.astype(self.dtype), (s,), [(p, p)],
                     dimension_numbers=("NWC", "WIO", "NWC"),
                     feature_group_count=g,
-                ) + bias
+                ) + bias.astype(self.dtype)
             else:
                 conv = nn.Conv(
                     ch,
@@ -256,6 +272,7 @@ class DiscriminatorS(nn.Module):
                     padding=[(p, p)],
                     feature_group_count=g,
                     kernel_init=nn.initializers.normal(0.01),
+                    dtype=self.dtype,
                     name=f"convs_{i}_conv",
                 )
                 h = nn.WeightNorm(conv, name=f"convs_{i}")(h)
@@ -271,13 +288,14 @@ class DiscriminatorS(nn.Module):
             )()
             w = self._sn_kernel("conv_post", kernel, update_spectral)
             h = jax.lax.conv_general_dilated(
-                h, w, (1,), [(1, 1)],
+                h, w.astype(self.dtype), (1,), [(1, 1)],
                 dimension_numbers=("NWC", "WIO", "NWC"),
-            ) + bias
+            ) + bias.astype(self.dtype)
         else:
             conv = nn.Conv(
                 1, kernel_size=(3,), padding=[(1, 1)],
-                kernel_init=nn.initializers.normal(0.01), name="conv_post_conv",
+                kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+                name="conv_post_conv",
             )
             h = nn.WeightNorm(conv, name="conv_post")(h)
         fmap.append(h)
@@ -287,6 +305,8 @@ class DiscriminatorS(nn.Module):
 class MultiScaleDiscriminator(nn.Module):
     """reference models.py:586-613: 3 scales with x2 average pooling; the
     first scale uses spectral norm (models.py:594), the rest weight norm."""
+
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_spectral: bool = True):
@@ -300,7 +320,8 @@ class MultiScaleDiscriminator(nn.Module):
                     padded[:, :, None], (4,), strides=(2,), padding="VALID"
                 )[:, :, 0]
             s, f = DiscriminatorS(
-                use_spectral_norm=(i == 0), name=f"disc_s{i}"
+                use_spectral_norm=(i == 0), dtype=self.dtype,
+                name=f"disc_s{i}",
             )(h, update_spectral)
             scores.append(s)
             fmaps.append(f)
@@ -321,6 +342,7 @@ class DiscriminatorR(nn.Module):
     win_length: int = 600
     leaky_relu_slope: float = 0.2
     blocked: bool = True
+    dtype: Dtype = jnp.float32
 
     _SPECS = (
         (32, (3, 9), (1, 1), ((1, 1), (4, 4))),
@@ -342,18 +364,23 @@ class DiscriminatorR(nn.Module):
         mag = stft_magnitude(
             y, self.n_fft, self.hop_length, self.win_length, center=False, eps=1e-9
         )  # [B, F, TT]
-        h = jnp.swapaxes(mag, 1, 2)[..., None]  # [B, TT, F, 1] NHWC
+        # the STFT itself stays f32 (numerics); compute below at self.dtype
+        h = jnp.swapaxes(mag, 1, 2)[..., None].astype(self.dtype)  # NHWC
 
         if self.blocked:
             return self._call_blocked(h)
 
         fmap = []
         for i, (ch, k, s, p) in enumerate(self._SPECS):
-            h = _wn_conv2d(ch, k, s, list(map(list, p)), f"convs_{i}")(h)
+            h = _wn_conv2d(
+                ch, k, s, list(map(list, p)), f"convs_{i}", dtype=self.dtype
+            )(h)
             h = nn.leaky_relu(h, self.leaky_relu_slope)
             fmap.append(h)
 
-        h = _wn_conv2d(1, (3, 3), (1, 1), [(1, 1), (1, 1)], "conv_post")(h)
+        h = _wn_conv2d(
+            1, (3, 3), (1, 1), [(1, 1), (1, 1)], "conv_post", dtype=self.dtype
+        )(h)
         fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
 
@@ -383,7 +410,7 @@ class DiscriminatorR(nn.Module):
             )()
             w = weight_norm_kernel(kernel, scale)
             return blocked_apply_2d(
-                hb, w, bias, triples, S, S, jnp.float32, t_pad, bs
+                hb, w, bias, triples, S, S, self.dtype, t_pad, bs
             )
 
         def unblock(hb, ch, f_cur):
@@ -430,13 +457,15 @@ class MultiResolutionDiscriminator(nn.Module):
         (2048, 240, 1200),
         (512, 50, 240),
     )
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         scores, fmaps = [], []
         for n_fft, hop, win in self.resolutions:
             s, f = DiscriminatorR(
-                n_fft, hop, win, name=f"disc_r{n_fft}_{hop}"
+                n_fft, hop, win, dtype=self.dtype,
+                name=f"disc_r{n_fft}_{hop}",
             )(x)
             scores.append(s)
             fmaps.append(f)
@@ -453,6 +482,8 @@ def discriminator_loss(real_scores, fake_scores, average: bool = False):
     :134-142 averaged/halved)."""
     losses = []
     for dr, dg in zip(real_scores, fake_scores):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
         r_loss = jnp.mean((1.0 - dr) ** 2)
         g_loss = jnp.mean(dg**2)
         losses.append((r_loss + g_loss) / 2 if average else r_loss + g_loss)
@@ -464,7 +495,9 @@ def discriminator_loss(real_scores, fake_scores, average: bool = False):
 
 def generator_adv_loss(fake_scores, average: bool = False):
     """LSGAN G loss (reference models.py:643-649; averaged in v2)."""
-    losses = [jnp.mean((1.0 - dg) ** 2) for dg in fake_scores]
+    losses = [
+        jnp.mean((1.0 - dg.astype(jnp.float32)) ** 2) for dg in fake_scores
+    ]
     total = sum(losses)
     if average:
         total = total / len(losses)
@@ -476,7 +509,9 @@ def feature_loss(fmap_real, fmap_fake):
     loss = 0.0
     for dr, dg in zip(fmap_real, fmap_fake):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(jnp.abs(rl - gl))
+            loss += jnp.mean(
+                jnp.abs(rl.astype(jnp.float32) - gl.astype(jnp.float32))
+            )
     return loss * 2.0
 
 

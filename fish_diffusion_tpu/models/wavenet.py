@@ -46,6 +46,9 @@ class ResidualBlock(nn.Module):
     use_linear_bias: bool = False
     cond_is_projected: bool = False
     dtype: Dtype = jnp.float32
+    # static dilation set of the cycle; the scan input is then the INDEX
+    # into it (see DilatedConvK3 — static shifts beat traced roll by 21%)
+    dilation_values: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, carry, dilation, conditioner, step_emb):
@@ -55,7 +58,13 @@ class ResidualBlock(nn.Module):
         step = LinearNorm(r, self.use_linear_bias, dtype=self.dtype, name="diffusion_projection")(step_emb)
         y = x + step[:, None, :]
 
-        y = DilatedConvK3(2 * r, use_bias=True, dtype=self.dtype, name="conv_layer")(y, dilation)
+        y = DilatedConvK3(
+            2 * r,
+            use_bias=True,
+            dtype=self.dtype,
+            dilation_values=self.dilation_values,
+            name="conv_layer",
+        )(y, dilation)
         if self.cond_is_projected:
             # sampling fast path: the per-block conditioner projection was
             # hoisted out of the reverse-diffusion scan (the condition is
@@ -194,6 +203,14 @@ class WaveNet(nn.Module):
             )
         else:
             dilations = np.ones(self.residual_layers, dtype=np.int32)
+        # dilations are statically known here, so the scan input is the
+        # INDEX into the (static) value set and the per-block shifts are a
+        # lax.switch over static pad/slice branches (DilatedConvK3) —
+        # measured 21% faster per train step than traced roll+mask shifts
+        dilation_values = tuple(int(d) for d in sorted(set(dilations.tolist())))
+        dilation_idx = np.array(
+            [dilation_values.index(int(d)) for d in dilations], dtype=np.int32
+        )
 
         # The residual stack is ONE scanned block body; a fused Pallas
         # block kernel was measured against this path on the real chip and
@@ -223,8 +240,9 @@ class WaveNet(nn.Module):
             use_linear_bias=self.use_linear_bias,
             cond_is_projected=cond_is_projected,
             dtype=compute_dtype,
+            dilation_values=dilation_values,
             name="residual_layers",
-        )((x, skip0), jnp.asarray(dilations), conditioner, step)
+        )((x, skip0), jnp.asarray(dilation_idx), conditioner, step)
 
         x = skip_sum * (1.0 / math.sqrt(self.residual_layers))
         x = Conv1x1(r, dtype=compute_dtype, name="skip_projection")(x)

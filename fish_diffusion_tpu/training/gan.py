@@ -61,14 +61,26 @@ class Discriminators:
         flavor: str = "v2",
         mpd_cfg: Optional[dict] = None,
         mrd_cfg: Optional[dict] = None,
+        dtype: Any = None,
     ):
+        """``dtype``: discriminator COMPUTE dtype (params stay f32).
+        Default f32 — the reference pins GAN runs at "32-true"
+        (svc_hifisinger_v2.py:112). bf16 halves the discriminators' HBM
+        traffic, which the r5 attribution shows is ~90% of the v1 trainer
+        step's bytes (docs/artifacts/vocoder_step_attribution_r05.json);
+        bf16 keeps f32's exponent range so the reference's overflow
+        concerns (fp16 AMP era) don't apply. Spectral/weight-norm kernel
+        math and all loss reductions stay f32 regardless."""
         assert flavor in ("v1", "v2")
         self.flavor = flavor
-        self.mpd = MultiPeriodDiscriminator(**(mpd_cfg or {}))
+        kw = {"dtype": dtype} if dtype is not None else {}
+        self.mpd = MultiPeriodDiscriminator(**{**(mpd_cfg or {}), **kw})
         if flavor == "v2":
-            self.second = MultiResolutionDiscriminator(**(mrd_cfg or {}))
+            self.second = MultiResolutionDiscriminator(
+                **{**(mrd_cfg or {}), **kw}
+            )
         else:
-            self.second = MultiScaleDiscriminator()
+            self.second = MultiScaleDiscriminator(**kw)
 
     def init(self, rng, wav):
         # jit the init: eager flax init executes op-by-op, which is

@@ -41,6 +41,15 @@ class VocoderTrainer:
 
         gen_cfg = dict(mc.get("generator", {}))
         gen_type = gen_cfg.pop("type", "NsfHifiGAN")
+        # trainer.precision="bf16-mixed" (the reference base-trainer default,
+        # configs/_base_/trainers/base.py:18) -> bf16 GENERATOR activations;
+        # params and the discriminators stay f32 (reference GAN runs pin
+        # discriminators at "32-true", svc_hifisinger_v2.py:112). The r5
+        # loss-trend comparison vs f32 is in docs/artifacts/ (VERDICT r4
+        # next #5).
+        precision = str((config.get("trainer") or {}).get("precision", ""))
+        if "bf16" in precision and "dtype" not in gen_cfg:
+            gen_cfg["dtype"] = jnp.bfloat16
         if gen_type in ("RefineGAN", "RefineGANGenerator"):
             self.generator = RefineGANGenerator(**gen_cfg)
             flavor = "v2"
@@ -59,10 +68,20 @@ class VocoderTrainer:
             n_mels=getattr(self.generator, "num_mels", 128),
         )
 
+        # discriminator COMPUTE dtype: trainer.discriminator_dtype
+        # ("float32" default = reference "32-true" parity; "bfloat16"
+        # halves the disc HBM traffic — the step's dominant bytes, see
+        # docs/artifacts/vocoder_step_attribution_r05.json — params and
+        # loss reductions stay f32 either way)
+        d_dtype_name = str(
+            (config.get("trainer") or {}).get("discriminator_dtype", "float32")
+        )
+        d_dtype = jnp.bfloat16 if "bf" in d_dtype_name else None
         self.discs = Discriminators(
             flavor,
             mpd_cfg=dict(mc.get("mpd", {})) or None,
             mrd_cfg=dict(mc.get("mrd", {})) or None,
+            dtype=d_dtype,
         )
 
         # GAN schedulers decay per EPOCH (reference hifisinger_v1.py:205-209);
