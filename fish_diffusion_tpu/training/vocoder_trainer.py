@@ -68,13 +68,19 @@ class VocoderTrainer:
             n_mels=getattr(self.generator, "num_mels", 128),
         )
 
-        # discriminator COMPUTE dtype: trainer.discriminator_dtype
-        # ("float32" default = reference "32-true" parity; "bfloat16"
-        # halves the disc HBM traffic — the step's dominant bytes, see
-        # docs/artifacts/vocoder_step_attribution_r05.json — params and
-        # loss reductions stay f32 either way)
+        # discriminator COMPUTE dtype: trainer.discriminator_dtype.
+        # DEFAULT bfloat16 — a deliberate TPU-native deviation from the
+        # reference's "32-true" GAN pin (svc_hifisinger_v2.py:112): the
+        # discriminators own ~90% of the step's HBM bytes and the step is
+        # at its bandwidth roofline, so bf16 compute buys 4.67 -> 5.80
+        # steps/s (docs/artifacts/vocoder_step_attribution_r05.json); a
+        # 2000-step seed-matched trend comparison shows interleaving,
+        # statistically indistinguishable mel/val curves
+        # (docs/artifacts/vocoder_trend_{f32d,bf16d}_r05.json). Params,
+        # weight/spectral-norm kernel math, and loss reductions stay f32
+        # either way. Set "float32" for strict reference parity.
         d_dtype_name = str(
-            (config.get("trainer") or {}).get("discriminator_dtype", "float32")
+            (config.get("trainer") or {}).get("discriminator_dtype", "bfloat16")
         )
         d_dtype = jnp.bfloat16 if "bf" in d_dtype_name else None
         self.discs = Discriminators(

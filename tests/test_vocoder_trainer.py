@@ -125,3 +125,36 @@ def test_fit_empty_loader_returns_none(trainer_cls, tmp_path):
     )
     trainer = trainer_cls(_tiny_config(), log_dir=str(tmp_path), mesh=mesh)
     assert trainer.fit([], max_steps=3) is None
+
+
+def test_bf16_discriminator_dtype_same_params_finite_step(trainer_cls, tmp_path):
+    """trainer.discriminator_dtype="bfloat16" must keep the param tree
+    byte-identical to f32 (params stay f32 — only COMPUTE changes) and
+    produce a finite adversarial step. The measured win is 214 -> 172 ms
+    per production v1 step on v5e (docs/artifacts/vocoder_step_bf16_r05.json)."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh(
+        axis_shapes=(1,), axis_names=("data",), devices=jax.devices()[:1]
+    )
+    cfg32 = _tiny_config()
+    cfg16 = _tiny_config()
+    cfg16.trainer["discriminator_dtype"] = "bfloat16"
+
+    t32 = trainer_cls(cfg32, log_dir=str(tmp_path / "f32"), mesh=mesh)
+    t16 = trainer_cls(cfg16, log_dir=str(tmp_path / "bf16"), mesh=mesh)
+    batch = _loader(n_batches=1)[0]
+    s32 = t32.init_state(batch, seed=0)
+    s16 = t16.init_state(batch, seed=0)
+
+    shapes32 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), s32.params_d)
+    shapes16 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), s16.params_d)
+    assert shapes32 == shapes16  # params f32 in both
+
+    from fish_diffusion_tpu.parallel.distributed import make_global_batch
+
+    sb = make_global_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()}, t16.mesh
+    )
+    s16, m = t16._train_step(s16, sb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss_d"])) and np.isfinite(float(m["loss_g"]))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -81,6 +82,9 @@ def run_vocoder(args):
     spe = args.n_samples // args.batch
     log_dir = Path("logs/prove_vocoder")
     (log_dir / "metrics.jsonl").unlink(missing_ok=True)  # fresh series
+    # a previous run's orbax checkpoints make save(step) raise
+    # StepAlreadyExistsError at the same step count — fresh run, fresh dir
+    shutil.rmtree(log_dir / "checkpoints", ignore_errors=True)
     trainer = VocoderTrainer(cfg, log_dir=str(log_dir), steps_per_epoch=spe)
     # cap to requested steps via a bounded loader
     rng_np = np.random.default_rng(args.seed)
@@ -244,10 +248,14 @@ def main():
             rngs={"noise": rng},
         )
 
+    import jax.numpy as _jnp
+
+    _ddt = str((cfg.get("trainer") or {}).get("discriminator_dtype", "float32"))
     discs = Discriminators(
         flavor,
         mpd_cfg=dict(mc.get("mpd", {})) or None,
         mrd_cfg=dict(mc.get("mrd", {})) or None,
+        dtype=_jnp.bfloat16 if "bf" in _ddt else None,
     )
 
     spe = args.n_samples // args.batch  # steps per epoch

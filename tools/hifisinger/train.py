@@ -79,10 +79,14 @@ def main():
             rngs={"noise": rng},
         )
 
+    import jax.numpy as _jnp
+
+    _ddt = str((cfg.get("trainer") or {}).get("discriminator_dtype", "float32"))
     discs = Discriminators(
         flavor,
         mpd_cfg=dict(mc.get("mpd", {})) or None,
         mrd_cfg=dict(mc.get("mrd", {})) or None,
+        dtype=_jnp.bfloat16 if "bf" in _ddt else None,
     )
 
     mesh = make_mesh()
