@@ -23,10 +23,13 @@ def load_reference():
 
 
 @pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
-def test_converted_wavenet_matches_torch():
+@pytest.mark.parametrize("LAYERS,CYCLE", [(4, 2), (8, 4)])
+def test_converted_wavenet_matches_torch(LAYERS, CYCLE):
+    # CYCLE=4 exercises the full production dilation set {1,2,4,8} -> the
+    # 4-branch static-shift lax.switch path (models/common.py)
     ref = load_reference()
 
-    MEL, D_ENC, R, LAYERS, CYCLE = 16, 12, 24, 4, 2
+    MEL, D_ENC, R = 16, 12, 24
     torch.manual_seed(0)
     tnet = ref.WaveNet(
         mel_channels=MEL,
