@@ -248,12 +248,22 @@ def _replay_artifacts(result: dict) -> None:
         )
     except Exception:
         pass
-    for prefix, pattern in (
-        ("gan", "docs/artifacts/gan_run_r*.json"),
-        ("vocoder", "docs/artifacts/vocoder_run_r*.json"),
+    for prefix, patterns in (
+        ("gan", ("docs/artifacts/gan_run_r*.json",)),
+        # the r5 bf16-discriminator sustained run is named vocoder_trend_*
+        # (seed-matched f32-vs-bf16 pair); prefer the newest across both
+        # name families by mtime
+        (
+            "vocoder",
+            (
+                "docs/artifacts/vocoder_run_r*.json",
+                "docs/artifacts/vocoder_trend_bf16d_r*.json",
+            ),
+        ),
     ):
         try:
-            path = sorted(glob.glob(pattern))[-1]
+            candidates = [p for pat in patterns for p in glob.glob(pat)]
+            path = max(candidates, key=os.path.getmtime)
             with open(path) as f:
                 g = json.load(f)
             audio_sps = g.get("audio_sec_per_sec") or (
@@ -934,6 +944,7 @@ def _bench_training():
             ),
         ),
         precision="bf16-mixed",
+        training=True,  # static dilation shifts (the train-regime lowering)
     )
 
     rng = np.random.default_rng(0)

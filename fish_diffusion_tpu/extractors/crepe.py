@@ -274,7 +274,8 @@ class CrepePitchExtractor(BasePitchExtractor):
 
     def init_random(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self.variables = self.model.init(rng, jnp.zeros((1, WINDOW_SIZE)))
+        # jitted: eager flax init runs op-by-op over the device tunnel
+        self.variables = jax.jit(self.model.init)(rng, jnp.zeros((1, WINDOW_SIZE)))
         return self.variables
 
     # -- decode ---------------------------------------------------------------

@@ -202,7 +202,9 @@ class _HubertExtractorBase(BaseFeatureExtractor):
     def init_random(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, 16000))
-        self.params = self.encoder.init(rng, dummy)["params"]
+        # jitted: eager flax init of the 12-layer tower runs op-by-op over
+        # the device tunnel (minutes vs seconds)
+        self.params = jax.jit(self.encoder.init)(rng, dummy)["params"]
         # head params
         head = self._init_head(rng)
         if head:

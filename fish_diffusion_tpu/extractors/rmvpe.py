@@ -233,7 +233,8 @@ class RMVPitchExtractor(BasePitchExtractor):
 
     def init_random(self, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self.variables = self.model.init(rng, jnp.zeros((1, 32, N_MELS)))
+        # jitted: eager flax init runs op-by-op over the device tunnel
+        self.variables = jax.jit(self.model.init)(rng, jnp.zeros((1, 32, N_MELS)))
         return self.variables
 
     def _mel(self, audio16k: np.ndarray) -> np.ndarray:

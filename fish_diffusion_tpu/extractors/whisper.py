@@ -263,7 +263,8 @@ class AlignedWhisperForAudio(BaseFeatureExtractor):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mel = jnp.zeros((1, self.model.n_mels, 32))
         phones = jnp.zeros((1, 16), jnp.int32)
-        self.params = self.model.init(rng, mel, phones)["params"]
+        # jitted: eager flax init runs op-by-op over the device tunnel
+        self.params = jax.jit(self.model.init)(rng, mel, phones)["params"]
         return self.params
 
     def save(self, path):

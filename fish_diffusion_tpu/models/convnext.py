@@ -10,14 +10,17 @@ Capability parity with the reference ``fish_diffusion/modules/convnext.py``:
 
 TPU-first details: channels-last [B, T, C]; the homogeneous (non-attention)
 block stack runs as ONE ``nn.scan`` — the depthwise dilated conv7 is 7
-shifted broadcast-multiplies so the dilation can be a traced per-step value;
-``remat`` replaces torch gradient checkpointing.
+shifted broadcast-multiplies; the dilation cycle is statically known from
+the config, so the per-step scan input is the INDEX into the static
+dilation set and the shifts are a ``lax.switch`` over static pad/slice
+branches (see ``DepthwiseConv7``); ``remat`` replaces torch gradient
+checkpointing.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..registry import DENOISERS
-from .common import Conv1x1, diffusion_embedding, shift_seq
+from .common import Conv1x1, _static_shift, diffusion_embedding, shift_seq
 
 Dtype = Any
 
@@ -42,12 +45,21 @@ def sinusoidal_positions(num_embeddings: int, dim: int) -> np.ndarray:
 
 
 class DepthwiseConv7(nn.Module):
-    """Depthwise kernel-7 conv with traced dilation: 7 shifted broadcast
-    multiplies (VPU ops), so every layer of a dilation cycle shares one
-    compiled scan body."""
+    """Depthwise kernel-7 conv as 7 shifted broadcast multiplies (VPU ops),
+    so every layer of a dilation cycle shares one compiled scan body.
+
+    When the cycle's dilation VALUES are statically known
+    (``dilation_values`` set; always true for the configs — dilation is
+    ``2**(i % cycle)``), ``dilation`` is the INDEX into that set and the
+    taps are a ``lax.switch`` over branches with STATIC pad/slice shifts —
+    the same traced-roll elimination that cut the WaveNet train step 21%
+    (``models/common.py:DilatedConvK3``, train_variants_r05.json). With
+    ``dilation_values=None`` the dilation is a traced scalar via
+    ``shift_seq`` (legacy path)."""
 
     features: int
     dtype: Dtype = jnp.float32
+    dilation_values: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, dilation: jax.Array):
@@ -61,10 +73,32 @@ class DepthwiseConv7(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         ).astype(self.dtype)
 
-        out = jnp.zeros_like(x)
-        for tap in range(7):
-            offset = (tap - 3) * dilation  # taps at -3d..+3d
-            out = out + shift_seq(x, -offset) * kernel[tap][None, None, :]
+        if self.dilation_values is not None:
+            vals = tuple(int(d) for d in self.dilation_values)
+
+            def taps_for(d):
+                def f(x):
+                    out = jnp.zeros_like(x)
+                    for tap in range(7):
+                        out = out + (
+                            _static_shift(x, -(tap - 3) * d)
+                            * kernel[tap][None, None, :]
+                        )
+                    return out
+
+                return f
+
+            if len(vals) == 1:
+                out = taps_for(vals[0])(x)
+            else:
+                out = jax.lax.switch(
+                    dilation, [taps_for(d) for d in vals], x
+                )
+        else:
+            out = jnp.zeros_like(x)
+            for tap in range(7):
+                offset = (tap - 3) * dilation  # taps at -3d..+3d
+                out = out + shift_seq(x, -offset) * kernel[tap][None, None, :]
         return out + bias[None, None, :]
 
 
@@ -75,6 +109,7 @@ class ConvNeXtBlock(nn.Module):
     intermediate_dim: int
     layer_scale_init_value: Optional[float] = 1e-6
     dtype: Dtype = jnp.float32
+    dilation_values: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x, dilation, condition, step_emb, x_masks, cond_masks):
@@ -94,7 +129,12 @@ class ConvNeXtBlock(nn.Module):
         if x_masks is not None:
             x = jnp.where(x_masks[:, :, None], 0.0, x)
 
-        x = DepthwiseConv7(self.dim, dtype=self.dtype, name="dwconv")(x, dilation)
+        x = DepthwiseConv7(
+            self.dim,
+            dtype=self.dtype,
+            dilation_values=self.dilation_values,
+            name="dwconv",
+        )(x, dilation)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
@@ -122,6 +162,7 @@ class ScannedConvNeXtBlock(nn.Module):
     intermediate_dim: int
     layer_scale_init_value: Optional[float] = 1e-6
     dtype: Dtype = jnp.float32
+    dilation_values: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, carry, dilation, condition, step_emb, x_masks, cond_masks):
@@ -130,6 +171,7 @@ class ScannedConvNeXtBlock(nn.Module):
             self.intermediate_dim,
             self.layer_scale_init_value,
             self.dtype,
+            self.dilation_values,
             name="block",
         )(carry, dilation, condition, step_emb, x_masks, cond_masks)
         return x, None
@@ -212,6 +254,11 @@ class ConvNext(nn.Module):
     cross_attention: bool = False
     cross_every_n_layers: int = 5
     dtype: Dtype = jnp.float32
+    # same regime split as WaveNet.static_dilation_shifts (measured there,
+    # tools/ab_dilation_probe.py): static switch shifts for training,
+    # traced shifts for forward-only sampling. build_model(training=True)
+    # flips it on; the param tree is identical either way.
+    static_dilation_shifts: bool = False
 
     @nn.compact
     def __call__(self, x, diffusion_step, conditioner, x_masks=None, cond_masks=None):
@@ -241,6 +288,21 @@ class ConvNext(nn.Module):
             [2 ** (i % self.dilation_cycle) for i in range(self.num_layers)],
             dtype=np.int32,
         )
+        # the dilation cycle is statically known here, so under training the
+        # scan input is the INDEX into the static dilation set: the
+        # depthwise taps become a lax.switch over static pad/slice shifts
+        # (DepthwiseConv7) — same regime split as WaveNet
+        if self.static_dilation_shifts:
+            dilation_values = tuple(
+                int(d) for d in sorted(set(dilations.tolist()))
+            )
+            dilation_idx = np.array(
+                [dilation_values.index(int(d)) for d in dilations],
+                dtype=np.int32,
+            )
+        else:  # traced shifts: the scan input is the dilation VALUE
+            dilation_values = None
+            dilation_idx = dilations
 
         if not self.cross_attention:
             # homogeneous stack -> single scan
@@ -258,10 +320,13 @@ class ConvNext(nn.Module):
                 dim=self.dim,
                 intermediate_dim=self.dim * self.mlp_factor,
                 dtype=self.dtype,
+                dilation_values=dilation_values,
                 name="residual_layers",
-            )(x, jnp.asarray(dilations), condition, step, x_masks, cond_masks)
+            )(x, jnp.asarray(dilation_idx), condition, step, x_masks, cond_masks)
         else:
-            # attention layers break uniformity: unrolled stack
+            # attention layers break uniformity: unrolled stack — each
+            # block's dilation is a single static value (index 0 into a
+            # one-element set)
             li = 0
             for i in range(self.num_layers):
                 if i % self.cross_every_n_layers == 0:
@@ -276,8 +341,20 @@ class ConvNext(nn.Module):
                     dim=self.dim,
                     intermediate_dim=self.dim * self.mlp_factor,
                     dtype=self.dtype,
+                    dilation_values=(
+                        (int(dilations[i]),)
+                        if self.static_dilation_shifts
+                        else None
+                    ),
                     name=f"convnext_{i}",
-                )(x, jnp.int32(dilations[i]), None if self.cross_attention else condition, step, x_masks, cond_masks)
+                )(
+                    x,
+                    jnp.int32(0 if self.static_dilation_shifts else dilations[i]),
+                    None if self.cross_attention else condition,
+                    step,
+                    x_masks,
+                    cond_masks,
+                )
 
         x = Conv1x1(self.dim, dtype=self.dtype, name="out_proj1")(x)
         x = nn.gelu(x, approximate=False)

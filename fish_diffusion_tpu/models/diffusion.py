@@ -7,7 +7,8 @@ samplers (``noise_predictor.py:19-222``, ``uni_pc.py``):
 
 - **naive**  — full DDPM ancestral sampling
 - **plms**   — pseudo linear multistep (Adams–Bashforth stages 0-3)
-- **unipc**  — UniPC multistep order-2 ``bh2`` data-prediction solver
+- **unipc**  — UniPC multistep data-prediction solver, variants bh1/bh2,
+  orders 1-3 (the modes the reference framework invokes; others fail loudly)
 
 TPU-first design: every sampler is ONE ``lax.scan`` whose per-step scalar
 coefficients (posterior means/variances, PLMS alphas, the entire UniPC

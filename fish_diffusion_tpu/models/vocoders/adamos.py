@@ -326,8 +326,9 @@ class ADaMoSHiFiGANV1:
             self.init_random(jax.random.PRNGKey(0))
 
     def init_random(self, rng, n_frames: int = 16):
+        # jitted: eager flax init runs op-by-op over the device tunnel
         mel = jnp.zeros((1, n_frames, self.generator.mel_channels))
-        self.params = self.generator.init(rng, mel)["params"]
+        self.params = jax.jit(self.generator.init)(rng, mel)["params"]
         return self.params
 
     def spec2wav(self, mel, f0=None, key_shift: float = 0):

@@ -190,9 +190,10 @@ class ISTFTNet:
             self.init_random(jax.random.PRNGKey(0))
 
     def init_random(self, rng, n_frames: int = 16):
+        # jitted: eager flax init runs op-by-op over the device tunnel
         mel = jnp.zeros((1, n_frames, self.generator.num_mels))
         f0 = jnp.full((1, n_frames), 220.0)
-        variables = self.generator.init(
+        variables = jax.jit(self.generator.init)(
             {"params": rng, "noise": jax.random.fold_in(rng, 1)}, mel, f0
         )
         self.params = variables["params"]

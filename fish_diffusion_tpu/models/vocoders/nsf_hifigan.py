@@ -534,10 +534,14 @@ class NsfHifiGAN:
             self.params = pickle.load(f)
 
     def init_random(self, rng: jax.Array, n_frames: int = 32):
-        """Random init (for tests / training-from-scratch)."""
+        """Random init (for tests / training-from-scratch).
+
+        The init MUST be jitted: eager flax init executes op-by-op over the
+        device tunnel (~260 s for this generator vs ~3 s jitted).
+        """
         mel = jnp.zeros((1, n_frames, self.generator.num_mels))
         f0 = jnp.full((1, n_frames), 220.0)
-        variables = self.generator.init(
+        variables = jax.jit(self.generator.init)(
             {"params": rng, "noise": jax.random.fold_in(rng, 1)}, mel, f0
         )
         self.params = variables["params"]

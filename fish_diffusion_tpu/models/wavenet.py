@@ -7,8 +7,12 @@ skip-sum output), re-designed for XLA:
 
 - channels-last ``[B, T, C]`` everywhere; 1x1 convs are Dense matmuls (MXU)
 - the N residual blocks run as ONE ``lax.scan`` over stacked parameters: the
-  dilated k=3 conv is three shifted matmuls whose dilation is a per-step scan
-  input, so the whole 20-block stack compiles to a single block body
+  dilated k=3 conv is three shifted matmuls; the dilation cycle is statically
+  known from the config, so the per-step scan input is the INDEX into the
+  static dilation set and the time shifts are a ``lax.switch`` over static
+  pad/slice branches (21% faster than a traced roll+mask shift — see
+  ``models/common.py:DilatedConvK3``); the whole 20-block stack still
+  compiles to a single block body
 - optional rematerialization (``jax.checkpoint``) per block for training
   memory, replacing torch gradient checkpointing
 """
@@ -148,6 +152,16 @@ class WaveNet(nn.Module):
     # residual_layers. Measured on the r5 TPU run (B=20 T=512 train step):
     # see docs/artifacts/train_mfu_sweep_r05.json.
     scan_unroll: int = 1
+    # static pad/slice dilation shifts (lax.switch over the cycle's static
+    # dilation set) vs the traced roll+mask shift. Measured per regime on
+    # v5e (tools/ab_dilation_probe.py): static wins the TRAIN step (28.9 vs
+    # 30.7 ms at B=20 T=512) but LOSES the forward-only sampling scan by
+    # ~20% (316 vs 253 ms per 100 evals at B=4 T=1024) — the switch blocks
+    # XLA from fusing the shift into the consuming matmul when there is no
+    # backward pass to amortize it. So: False (traced) is the default for
+    # inference; ``build_model(..., training=True)`` flips it on. The param
+    # tree is identical either way — checkpoints are interchangeable.
+    static_dilation_shifts: bool = False
 
     def project_conditioner(
         self, conditioner: jax.Array, cond_masks: Optional[jax.Array] = None
@@ -207,10 +221,17 @@ class WaveNet(nn.Module):
         # INDEX into the (static) value set and the per-block shifts are a
         # lax.switch over static pad/slice branches (DilatedConvK3) —
         # measured 21% faster per train step than traced roll+mask shifts
-        dilation_values = tuple(int(d) for d in sorted(set(dilations.tolist())))
-        dilation_idx = np.array(
-            [dilation_values.index(int(d)) for d in dilations], dtype=np.int32
-        )
+        if self.static_dilation_shifts:
+            dilation_values = tuple(
+                int(d) for d in sorted(set(dilations.tolist()))
+            )
+            dilation_idx = np.array(
+                [dilation_values.index(int(d)) for d in dilations],
+                dtype=np.int32,
+            )
+        else:  # legacy: the scan input is the traced dilation VALUE
+            dilation_values = None
+            dilation_idx = dilations
 
         # The residual stack is ONE scanned block body; a fused Pallas
         # block kernel was measured against this path on the real chip and

@@ -3,9 +3,12 @@
 Capability parity with the reference's
 ``fish_diffusion/utils/pitch_adjustable_mel.py:9-96`` (PitchAdjustableMelSpectrogram)
 and ``fish_diffusion/utils/audio.py:11-28`` (dynamic range compression), with a
-TPU-native formulation: the STFT is expressed as a strided convolution with a
-windowed-DFT kernel, which XLA lowers to an implicit GEMM on the MXU — no FFT
-butterflies, no gathers, fully fused with downstream mel projection.
+TPU-native formulation: the STFT is a block-framed dense GEMM against a
+windowed-DFT matrix — hop-blocks of the signal are stacked into the frame
+matrix and multiplied on the MXU (``_stft_conv``), with a hand-written
+``custom_vjp`` whose backward is one same-size GEMM + overlap-add (XLA's
+autodiff of the naive strided-conv formulation costs hop x the forward
+FLOPs). No FFT butterflies, no gathers; the mel projection fuses downstream.
 
 Conventions preserved from the reference:
 - reflect padding of ``(win - hop) / 2`` samples each side, ``center=False``

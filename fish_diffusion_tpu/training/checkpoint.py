@@ -105,6 +105,11 @@ class CheckpointManager:
         # (a 4-chip training run restores on a 1-chip inference host)
         if self._thinned(step, force):
             return  # thinned by save_interval_steps: skip the D2H pull too
+        if step in (self._mngr.all_steps() or ()):
+            # already durable: the final force-save after fit() lands on the
+            # same step an interval save just wrote — orbax raises
+            # StepAlreadyExistsError instead of idempotently succeeding.
+            return
         # Pull leaf-by-leaf instead of one bulk device_get: on a serialized
         # transfer link each leaf is a separate request, so other threads'
         # small reads (validation losses, logged metric scalars) interleave

@@ -194,7 +194,9 @@ class Trainer:
         self.model = (
             model
             if model is not None
-            else build_model(config.model, precision=tc.get("precision"))
+            else build_model(
+                config.model, precision=tc.get("precision"), training=True
+            )
         )
 
         self.ema_momentum = config.get("ema_momentum", None)

@@ -37,3 +37,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables_per_module():
+    """Drop jit caches between test modules.
+
+    A single full-suite process accumulates hundreds of XLA:CPU executables
+    (the GAN train steps alone are ~20 MB of JIT code each); at ~91% of the
+    suite that accumulation segfaulted inside XLA's compile/cache-load path
+    twice in a row (r5), while the same tests pass standalone. Releasing
+    executables after each module keeps the process within the regime the
+    standalone runs prove safe; the persistent compilation cache makes any
+    cross-module recompile a cheap deserialize instead of a real compile.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

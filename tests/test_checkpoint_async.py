@@ -104,6 +104,19 @@ class TestAsyncCheckpoint:
         assert mngr.stats["pull_bytes"] > 0
         mngr.close()
 
+    def test_force_resave_of_existing_step_is_idempotent(self, tmp_path):
+        """fit()'s final force-save lands on the same step an interval save
+        just wrote; orbax raises StepAlreadyExistsError unless the manager
+        skips the duplicate (seen live in the r5 vocoder trend run)."""
+        mngr = CheckpointManager(tmp_path, save_interval_steps=10)
+        mngr.save(_state(10, 1.0))
+        assert mngr.latest_step() == 10
+        mngr.save(_state(10, 1.0), force=True)  # must not raise
+        mngr.wait()
+        assert mngr.latest_step() == 10
+        assert mngr.stats["saves"] == 1  # duplicate skipped before the pull
+        mngr.close()
+
     def test_save_error_surfaces_on_wait(self, tmp_path):
         mngr = CheckpointManager(tmp_path)
         mngr.save(_state(1, 1.0), metrics={"bad": "not-a-float"})

@@ -49,6 +49,84 @@ class TestDepthwiseConv7:
         )
 
 
+class TestStaticVsTracedDilationShifts:
+    """The two dilation-shift lowerings (static lax.switch = train regime,
+    traced roll+mask = inference regime; selected by
+    ``build_model(training=...)``) must share one param tree and produce
+    identical outputs — checkpoints move freely between regimes."""
+
+    @pytest.mark.parametrize("arch", ["wavenet", "convnext"])
+    def test_same_params_same_outputs(self, arch):
+        from fish_diffusion_tpu.models.wavenet import WaveNet
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))
+        cond = jax.random.normal(jax.random.PRNGKey(1), (B, T, COND))
+        t = jnp.array([5, 500], jnp.int32)
+
+        def build(static):
+            if arch == "wavenet":
+                return WaveNet(
+                    mel_channels=MEL,
+                    d_encoder=COND,
+                    residual_channels=16,
+                    residual_layers=8,
+                    dilation_cycle=4,
+                    static_dilation_shifts=static,
+                )
+            return ConvNext(
+                mel_channels=MEL,
+                dim=16,
+                condition_dim=COND,
+                num_layers=8,
+                dilation_cycle=4,
+                static_dilation_shifts=static,
+            )
+
+        m_static, m_traced = build(True), build(False)
+        params = m_traced.init(jax.random.PRNGKey(2), x, t, cond)["params"]
+        init_s = m_static.init(jax.random.PRNGKey(2), x, t, cond)["params"]
+        assert jax.tree_util.tree_map(jnp.shape, params) == (
+            jax.tree_util.tree_map(jnp.shape, init_s)
+        )
+        out_t = m_traced.apply({"params": params}, x, t, cond)
+        out_s = m_static.apply({"params": params}, x, t, cond)
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_t), atol=1e-5, rtol=1e-5
+        )
+
+    def test_build_model_training_flag_injects(self):
+        from fish_diffusion_tpu.models import build_model
+
+        cfg = dict(
+            type="DiffSinger",
+            diffusion=dict(
+                type="GaussianDiffusion",
+                mel_channels=MEL,
+                noise_schedule="linear",
+                timesteps=50,
+                denoiser=dict(
+                    type="WaveNetDenoiser",
+                    mel_channels=MEL,
+                    d_encoder=COND,
+                    residual_channels=16,
+                    residual_layers=4,
+                    dilation_cycle=2,
+                ),
+                spec_min=[-5],
+                spec_max=[0],
+            ),
+            text_encoder=dict(
+                type="NaiveProjectionEncoder",
+                input_size=COND,
+                output_size=COND,
+            ),
+        )
+        trained = build_model(cfg, training=True)
+        served = build_model(cfg)
+        assert trained.diffusion["denoiser"]["static_dilation_shifts"] is True
+        assert "static_dilation_shifts" not in served.diffusion["denoiser"]
+
+
 class TestConvNextDenoiser:
     def _io(self):
         x = jax.random.normal(jax.random.PRNGKey(0), (B, T, MEL))

@@ -23,10 +23,12 @@ def load_reference():
 
 
 @pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
-@pytest.mark.parametrize("LAYERS,CYCLE", [(4, 2), (8, 4)])
-def test_converted_wavenet_matches_torch(LAYERS, CYCLE):
-    # CYCLE=4 exercises the full production dilation set {1,2,4,8} -> the
-    # 4-branch static-shift lax.switch path (models/common.py)
+@pytest.mark.parametrize("LAYERS,CYCLE,STATIC", [(4, 2, False), (8, 4, True)])
+def test_converted_wavenet_matches_torch(LAYERS, CYCLE, STATIC):
+    # CYCLE=4 + STATIC exercises the full production dilation set {1,2,4,8}
+    # -> the 4-branch static-shift lax.switch path (models/common.py), the
+    # train-regime lowering; STATIC=False is the traced-shift inference
+    # lowering — same params, both must match torch
     ref = load_reference()
 
     MEL, D_ENC, R = 16, 12, 24
@@ -73,6 +75,7 @@ def test_converted_wavenet_matches_torch(LAYERS, CYCLE):
         residual_layers=LAYERS,
         use_linear_bias=True,
         dilation_cycle=CYCLE,
+        static_dilation_shifts=STATIC,
     )
 
     # structure check against fresh init
