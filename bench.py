@@ -532,6 +532,35 @@ def main():
         result["b1_rtf_3s_clip"] = lat["aggregate_rtf"]
         emit()
 
+    # probe 3: diffusion training throughput + MFU. Runs BEFORE the
+    # shallow/batch-sweep probes: train_mfu is a round-over-round headline
+    # (VERDICT r4 next #6) and must survive a cold-cache budget cut.
+    if not skip("train"):
+        try:
+            train_fps, train_flops, train_bytes = _bench_training()
+            result["train_mel_frames_per_sec_per_chip"] = round(train_fps, 1)
+            train_flops_analytic = 20 * 512 * wavenet_flops_per_frame(train=True)
+            mfu["train_flops_per_step_analytic"] = train_flops_analytic
+            # train_fps is mel-frames/s; steps/s = train_fps / (B*T). Headline
+            # TFLOP/s + MFU from the analytic model — cost_analysis counts the
+            # 20-layer WaveNet scan body once (17x low, see _compiled_flops).
+            t_tps_analytic = train_flops_analytic * train_fps / (20 * 512) / 1e12
+            mfu["train_tflops_per_sec"] = round(t_tps_analytic, 1)
+            if peak_tflops:
+                mfu["train_mfu"] = round(t_tps_analytic / peak_tflops, 3)
+            if train_flops:
+                mfu["train_flops_per_step_xla"] = train_flops
+                mfu["train_tflops_per_sec_xla_lower_bound"] = round(
+                    train_flops * train_fps / (20 * 512) / 1e12, 1
+                )
+                _roofline(
+                    mfu, "train", train_flops, train_bytes, peak_tflops, hbm_gbps
+                )
+        except Exception as e:
+            result["train_probe_error"] = str(e)[:200]
+        result.update(mfu)
+        emit()
+
     # shallow-diffusion fast path (reference docs/pages/quality.md command
     # block: skip_steps=970 + sampler_interval=5 -> 6 denoiser evals,
     # refining an existing mel — the documented low-latency serving recipe)
@@ -572,7 +601,7 @@ def main():
         elapsed = time.perf_counter() - start
         return n_iters * b * frames * HOP / SR / elapsed
 
-    # probe 3: shallow-diffusion fast path
+    # probe 4: shallow-diffusion fast path
     if not skip("shallow"):
         try:
             result["shallow_rtf_aggregate"] = round(
@@ -590,7 +619,7 @@ def main():
             result["shallow_probe_error"] = str(e)[:200]
         emit()
 
-    # probe 4: batch sweep (1, 16) around the already-timed headline
+    # probe 5: batch sweep (1, 16) around the already-timed headline
     for b in SWEEP:
         if not skip(f"batch_sweep_{b}"):
             try:
@@ -605,33 +634,6 @@ def main():
         for k, v in sorted(sweep.items(), key=lambda kv: int(kv[0]))
     }
     emit()
-
-    # probe 5: diffusion training throughput + MFU
-    if not skip("train"):
-        try:
-            train_fps, train_flops, train_bytes = _bench_training()
-            result["train_mel_frames_per_sec_per_chip"] = round(train_fps, 1)
-            train_flops_analytic = 20 * 512 * wavenet_flops_per_frame(train=True)
-            mfu["train_flops_per_step_analytic"] = train_flops_analytic
-            # train_fps is mel-frames/s; steps/s = train_fps / (B*T). Headline
-            # TFLOP/s + MFU from the analytic model — cost_analysis counts the
-            # 20-layer WaveNet scan body once (17x low, see _compiled_flops).
-            t_tps_analytic = train_flops_analytic * train_fps / (20 * 512) / 1e12
-            mfu["train_tflops_per_sec"] = round(t_tps_analytic, 1)
-            if peak_tflops:
-                mfu["train_mfu"] = round(t_tps_analytic / peak_tflops, 3)
-            if train_flops:
-                mfu["train_flops_per_step_xla"] = train_flops
-                mfu["train_tflops_per_sec_xla_lower_bound"] = round(
-                    train_flops * train_fps / (20 * 512) / 1e12, 1
-                )
-                _roofline(
-                    mfu, "train", train_flops, train_bytes, peak_tflops, hbm_gbps
-                )
-        except Exception as e:
-            result["train_probe_error"] = str(e)[:200]
-        result.update(mfu)
-        emit()
 
     # probes 6-7: live ~30-step probes of both adversarial regimes (VERDICT
     # r2 next #3: BENCH must catch regressions in the GAN/vocoder step, not
