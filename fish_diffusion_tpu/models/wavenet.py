@@ -6,13 +6,15 @@ gated-conv blocks with a dilation cycle, per-block conditioner 1x1 conv,
 skip-sum output), re-designed for XLA:
 
 - channels-last ``[B, T, C]`` everywhere; 1x1 convs are Dense matmuls (MXU)
-- the N residual blocks run as ONE ``lax.scan`` over stacked parameters: the
-  dilated k=3 conv is three shifted matmuls; the dilation cycle is statically
-  known from the config, so the per-step scan input is the INDEX into the
-  static dilation set and the time shifts are a ``lax.switch`` over static
-  pad/slice branches (21% faster than a traced roll+mask shift — see
-  ``models/common.py:DilatedConvK3``); the whole 20-block stack still
-  compiles to a single block body
+- the N residual blocks run as ONE ``lax.scan`` over stacked parameters; the
+  dilated k=3 conv is three shifted matmuls, with the time shift lowered
+  per-regime via ``static_dilation_shifts`` (default False): a ``lax.switch``
+  over static pad/slice branches for TRAINING (21% faster there —
+  ``build_model(training=True)`` flips it on), a traced roll+mask for the
+  forward-only sampling scan (faster in that regime; A/B in
+  ``tools/ab_dilation_probe.py``, ``models/common.py:DilatedConvK3``). The
+  param tree is identical either way; the whole 20-block stack compiles to a
+  single block body in both
 - optional rematerialization (``jax.checkpoint``) per block for training
   memory, replacing torch gradient checkpointing
 """

@@ -43,10 +43,8 @@ class VocoderTrainer:
         gen_type = gen_cfg.pop("type", "NsfHifiGAN")
         # trainer.precision="bf16-mixed" (the reference base-trainer default,
         # configs/_base_/trainers/base.py:18) -> bf16 GENERATOR activations;
-        # params and the discriminators stay f32 (reference GAN runs pin
-        # discriminators at "32-true", svc_hifisinger_v2.py:112). The r5
-        # loss-trend comparison vs f32 is in docs/artifacts/ (VERDICT r4
-        # next #5).
+        # params stay f32. Discriminator compute dtype is a separate knob
+        # (trainer.discriminator_dtype, default bfloat16 — rationale below).
         precision = str((config.get("trainer") or {}).get("precision", ""))
         if "bf16" in precision and "dtype" not in gen_cfg:
             gen_cfg["dtype"] = jnp.bfloat16
