@@ -148,6 +148,13 @@ class WaveNet(nn.Module):
     dilation_cycle: Optional[int] = None
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # jax.checkpoint policy name for remat=True (an attr of
+    # jax.checkpoint_policies, e.g. "dots_saveable": stash only matmul
+    # outputs and recompute the cheap elementwise ops in the backward —
+    # the r5 trace showed plain autodiff stashes ~5 [B,T,C] tensors per
+    # block, ~2.6 ms/step of pure HBM traffic at B=20 T=512). None =
+    # recompute everything (classic remat).
+    remat_policy: Optional[str] = None
     # lax.scan unroll factor for the residual stack: >1 lets XLA fuse
     # consecutive blocks (fewer carry round-trips through HBM per step) at
     # the cost of a proportionally larger program. Must divide
@@ -242,10 +249,16 @@ class WaveNet(nn.Module):
         # See docs/pages/architecture.md "Explored and rejected".
         block = ResidualBlock
         if self.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy
+                else None
+            )
             block = nn.remat(
                 block,
                 static_argnums=(),
                 prevent_cse=False,
+                policy=policy,
             )
 
         ScannedBlocks = nn.scan(

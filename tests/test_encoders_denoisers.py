@@ -251,3 +251,45 @@ class TestEncoders:
         mask = jnp.zeros((B, T), bool)
         params = enc.init(jax.random.PRNGKey(0), x, mask)
         assert enc.apply(params, x, mask).shape == (B, T, 16)
+
+
+class TestWaveNetRemat:
+    """remat / remat_policy change the backward schedule only: params,
+    outputs, and grads must match the plain-autodiff WaveNet exactly."""
+
+    def _grads(self, **kw):
+        from fish_diffusion_tpu.models.wavenet import WaveNet
+
+        net = WaveNet(
+            mel_channels=MEL, d_encoder=COND, residual_channels=8,
+            residual_layers=4, dilation_cycle=4, use_linear_bias=True,
+            static_dilation_shifts=True, **kw,
+        )
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T, MEL)), jnp.float32)
+        cond = jnp.asarray(np.random.default_rng(1).standard_normal((B, T, COND)), jnp.float32)
+        step = jnp.array([3, 40], jnp.int32)
+        params = net.init(jax.random.PRNGKey(0), x, step, cond)["params"]
+
+        def loss(p):
+            return jnp.mean(net.apply({"params": p}, x, step, cond) ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(params)
+        return params, float(val), grads
+
+    @pytest.mark.parametrize(
+        "kw",
+        [dict(remat=True), dict(remat=True, remat_policy="dots_saveable")],
+        ids=["full", "dots_saveable"],
+    )
+    def test_remat_matches_plain_autodiff(self, kw):
+        p0, v0, g0 = self._grads(remat=False)
+        p1, v1, g1 = self._grads(**kw)
+        # identical param tree (checkpoints interchangeable)
+        assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+        assert np.isclose(v0, v1, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+    def test_unknown_policy_fails_loudly(self):
+        with pytest.raises(AttributeError):
+            self._grads(remat=True, remat_policy="not_a_policy")
