@@ -499,8 +499,13 @@ def main():
     # headline TFLOP/s + MFU from the ANALYTIC count: XLA's cost_analysis
     # counts the 100-eval sampler scan and the 20-layer WaveNet scan bodies
     # once each (see _compiled_flops), so the XLA number is ~8.7x low here.
-    # The analytic count is denoiser-only (the vocoder adds ~7% more FLOPs),
-    # so the reported MFU is itself slightly conservative.
+    # Two accounting deltas nearly cancel (audited r5): the count includes
+    # the per-block conditioner projection every eval, but the program
+    # HOISTS it out of the sampling scan (project_conditioner — 10.9%
+    # overcount), while the timed call also runs the NSF vocoder whose
+    # FLOPs are NOT counted (0.55 TFLOP per 262k samples measured in
+    # vocoder_step_attribution_r05.json -> +12.7% here). Net: the reported
+    # MFU is accurate to ~2%, slightly conservative.
     tps_analytic = flops_e2e_analytic / headline["sec_per_clip"] / 1e12
     mfu["inference_tflops_per_sec"] = round(tps_analytic, 1)
     if peak_tflops:

@@ -54,3 +54,33 @@ def test_pipeline_parity_tiny(tmp_path):
     # rendered audio: pitch identical to well under a cent
     assert report["final_audio_f0_dev_cents"] <= 1.0
     assert report["final_audio_f0_voiced_frames"] > 0
+
+
+def test_pipeline_parity_hifisinger_tiny(tmp_path):
+    report_path = tmp_path / "report.json"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "jax_cache")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "pipeline_parity.py"),
+            "--tiny",
+            "--arch",
+            "hifisinger",
+            "--report",
+            str(report_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    report = json.loads(report_path.read_text())
+    assert report["pass"] is True
+    # fused condition features through converted encoders + fuser
+    assert report["mel_l1"] <= 1e-5
+    assert report["final_audio_f0_dev_cents"] <= 1.0

@@ -37,10 +37,17 @@ the jax side runs this framework's production ``DiffSinger.sample`` path on
 params produced by ``convert_torch_checkpoint.convert_diffsinger`` /
 ``convert_hubert_checkpoint`` / nsf_hifigan ``convert_checkpoint``.
 
+``--arch hifisinger`` drives the second model family the same way: the
+reference's GAN-based HiFiSVC chain (summed encoders -> feature_fuser ->
+NSF generator on the fused features, archs/hifisinger/core.py:55-141,
+configs/_base_/archs/hifi_svc.py) against this framework's
+``models/hifisinger.py`` on params from
+``tools/hifisinger/convert_checkpoint.convert_hifisinger``.
+
 Usage:
     python tools/pipeline_parity.py                    # production dims
     python tools/pipeline_parity.py --tiny             # CI-sized, seconds
-    python tools/pipeline_parity.py --report out.json
+    python tools/pipeline_parity.py --arch hifisinger --report out.json
 """
 
 from __future__ import annotations
@@ -316,6 +323,176 @@ def run_reference_vocoder(ref, dims, mel_t, f0_frames, seed=1):
 
 
 # ---------------------------------------------------------------------------
+# HiFiSinger (HiFiSVC) chain — the GAN-based second model family
+# ---------------------------------------------------------------------------
+
+# the published hifi_svc generator config (configs/_base_/archs/hifi_svc.py:
+# 6-40): the NSF generator consumes the 256-d FUSED FEATURES as its "mel"
+_HIFI_GEN = dict(
+    up_rates=[8, 8, 2, 2, 2], up_kernels=[16, 16, 8, 2, 2], up_initial=512,
+    res_kernels=[3, 7, 11],
+)
+_HIFI_GEN_TINY = dict(
+    up_rates=[8, 8, 8], up_kernels=[16, 16, 16], up_initial=32,
+    res_kernels=[3],
+)
+
+
+def run_reference_hifisinger(ref, hubert_t, mel_len, wav16, f0_frames, dims):
+    """Reference HiFiSinger chain (archs/hifisinger/core.py:55-141): summed
+    encoders -> feature_fuser -> NSF generator on the fused features."""
+    import torch
+
+    with torch.no_grad():
+        hiddens = hubert_t(
+            torch.from_numpy(wav16[None]), output_hidden_states=True
+        ).hidden_states
+        tap = min(9, dims["hubert_layers"])
+        contents = hubert_t.final_proj(hiddens[tap])[0].T.numpy()
+    text_features = torch.from_numpy(
+        ref.tensor.repeat_expand(contents, mel_len)
+    ).T
+
+    torch.manual_seed(300)
+    NPE = ref.naive_projection.NaiveProjectionEncoder
+    text_enc = NPE(dims["hidden"], dims["hidden"])
+    speaker_enc = NPE(10, dims["hidden"], use_embedding=True)
+    fuser = torch.nn.Sequential(
+        torch.nn.Linear(dims["hidden"], dims["hidden"]),
+        torch.nn.SiLU(),
+        torch.nn.Linear(dims["hidden"], dims["hidden"]),
+        torch.nn.SiLU(),
+    )
+    gen_cfg = dims["gen"]
+    h = ref.nsf.AttrDict(
+        num_mels=dims["hidden"],  # fused features, hifi_svc.py:23
+        sampling_rate=SR,
+        hop_size=HOP,
+        upsample_rates=gen_cfg["up_rates"],
+        upsample_kernel_sizes=gen_cfg["up_kernels"],
+        upsample_initial_channel=gen_cfg["up_initial"],
+        resblock="1",
+        resblock_kernel_sizes=gen_cfg["res_kernels"],
+        resblock_dilation_sizes=[[1, 3, 5]] * len(gen_cfg["res_kernels"]),
+    )
+    torch.manual_seed(301)
+    gen = ref.nsf.Generator(h)  # weight norm kept: the converter folds it
+    for mod in (text_enc, speaker_enc, fuser, gen):
+        mod.eval()
+
+    real_rand, real_randn_like = torch.rand, torch.randn_like
+    torch.rand = lambda *a, **k: torch.zeros(*a, **k)
+    torch.randn_like = lambda x, **k: torch.zeros_like(x)
+    try:
+        with torch.no_grad():
+            feats = text_enc(text_features[None])
+            feats = feats + speaker_enc(torch.tensor([0]))[:, None, :]
+            feats = fuser(feats)  # core.py:106
+            wav = gen(
+                feats.transpose(1, 2), torch.from_numpy(f0_frames[None])
+            )[0, 0].numpy()  # core.py:141
+    finally:
+        torch.rand, torch.randn_like = real_rand, real_randn_like
+
+    sd = {}
+    for prefix, mod in (
+        ("text_encoder", text_enc),
+        ("speaker_encoder", speaker_enc),
+        ("feature_fuser", fuser),
+        ("encoder", gen),
+    ):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.numpy()
+    return wav, np.asarray(feats[0]), sd
+
+
+def run_tpu_hifisinger(hubert_sd, heads, sd, mel_len, wav16, f0_frames, dims):
+    """This framework's HiFiSinger on converter output — the production
+    module (models/hifisinger.py), converted by
+    tools/hifisinger/convert_checkpoint.convert_hifisinger."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    from convert_hubert_checkpoint import convert_hf_hubert
+    from fish_diffusion_tpu.extractors.feature import HubertEncoder
+    from fish_diffusion_tpu.models.hifisinger import HiFiSinger
+    from fish_diffusion_tpu.ops.tensor import repeat_expand_np
+
+    spec = importlib.util.spec_from_file_location(
+        "fd_tpu_convert_hifisinger",
+        REPO / "tools" / "hifisinger" / "convert_checkpoint.py",
+    )
+    conv = importlib.util.module_from_spec(spec)
+    sys.modules["fd_tpu_convert_hifisinger"] = conv
+    spec.loader.exec_module(conv)
+
+    hparams = convert_hf_hubert(hubert_sd, heads=heads)
+    enc = HubertEncoder(
+        dim=dims["hubert_dim"], num_layers=dims["hubert_layers"],
+        heads=heads, ffn_dim=dims["hubert_ffn"],
+    )
+    enc_params = {k: v for k, v in hparams.items() if k != "final_proj"}
+    tap = min(9, dims["hubert_layers"])
+    with jax.default_matmul_precision("float32"):
+        hiddens = enc.apply({"params": enc_params}, jnp.asarray(wav16[None]))
+        contents = np.asarray(
+            hiddens[tap - 1] @ hparams["final_proj"]["kernel"]
+            + hparams["final_proj"]["bias"]
+        )[0].T
+    text_features = repeat_expand_np(contents, mel_len).T
+
+    params = conv.convert_hifisinger(sd)
+    gen_cfg = dims["gen"]
+    model = HiFiSinger(
+        hidden_size=dims["hidden"],
+        text_encoder=dict(type="NaiveProjectionEncoder",
+                          input_size=dims["hidden"], output_size=dims["hidden"]),
+        speaker_encoder=dict(type="NaiveProjectionEncoder", input_size=10,
+                             output_size=dims["hidden"], use_embedding=True),
+        encoder=dict(
+            type="HiFiGAN",
+            num_mels=dims["hidden"],
+            sampling_rate=SR,
+            hop_size=HOP,
+            upsample_rates=tuple(gen_cfg["up_rates"]),
+            upsample_kernel_sizes=tuple(gen_cfg["up_kernels"]),
+            upsample_initial_channel=gen_cfg["up_initial"],
+            resblock="1",
+            resblock_kernel_sizes=tuple(gen_cfg["res_kernels"]),
+            resblock_dilation_sizes=tuple(
+                (1, 3, 5) for _ in gen_cfg["res_kernels"]
+            ),
+        ),
+    )
+
+    real_uniform, real_normal = jax.random.uniform, jax.random.normal
+    jax.random.uniform = lambda key, shape=(), **k: jnp.zeros(shape)
+    jax.random.normal = lambda key, shape=(), dtype=jnp.float32: jnp.zeros(
+        shape, dtype
+    )
+    try:
+        with jax.default_matmul_precision("float32"):
+            feats = model.apply(
+                {"params": params},
+                jnp.zeros((1,), jnp.int32),
+                jnp.asarray(text_features[None]),
+                method=model.forward_features,
+            )["features"]
+            wav = model.apply(
+                {"params": params},
+                jnp.zeros((1,), jnp.int32),
+                jnp.asarray(text_features[None]),
+                pitches=jnp.asarray(f0_frames[None]),
+                rngs={"noise": jax.random.PRNGKey(0)},
+            )
+    finally:
+        jax.random.uniform, jax.random.normal = real_uniform, real_normal
+    return np.asarray(wav)[0], np.asarray(feats)[0]
+
+
+# ---------------------------------------------------------------------------
 # jax pipeline (this framework's production modules on converted params)
 # ---------------------------------------------------------------------------
 
@@ -514,6 +691,9 @@ def main():
     ap.add_argument("--report", default=None)
     ap.add_argument("--frames", type=int, default=None,
                     help="mel frames (default 256 production / 32 tiny)")
+    ap.add_argument("--arch", choices=("diffsvc", "hifisinger"),
+                    default="diffsvc",
+                    help="which reference model family to drive end-to-end")
     args = ap.parse_args()
 
     import torch
@@ -568,28 +748,46 @@ def main():
     hubert_t.eval()
     hubert_sd = {k: v.numpy() for k, v in hubert_t.state_dict().items()}
 
-    rng = np.random.default_rng(42)
-    x_init = rng.standard_normal((1, dims["mel"], mel_len)).astype(np.float32)
+    report: dict = {"arch": args.arch, "dims": dims, "mel_len": mel_len}
 
-    report: dict = {"dims": dims, "mel_len": mel_len}
+    if args.arch == "hifisinger":
+        dims["gen"] = _HIFI_GEN_TINY if args.tiny else _HIFI_GEN
+        print("running reference torch HiFiSinger pipeline...", flush=True)
+        wav_t, feat_t, sd = run_reference_hifisinger(
+            ref, hubert_t, mel_len, wav16, f0_frames, dims
+        )
+        print("running fish_diffusion_tpu HiFiSinger pipeline...", flush=True)
+        wav_j, feat_j = run_tpu_hifisinger(
+            hubert_sd, dims["hubert_heads"], sd, mel_len, wav16, f0_frames,
+            dims,
+        )
+        # fused condition features, pre-generator (core.py:106)
+        report["mel_l1"] = float(np.abs(feat_t - feat_j).mean())
+        report["mel_max"] = float(np.abs(feat_t - feat_j).max())
+        audio_metrics(wav_t, wav_j, report)
+    else:
+        rng = np.random.default_rng(42)
+        x_init = rng.standard_normal((1, dims["mel"], mel_len)).astype(
+            np.float32
+        )
 
-    print("running reference torch pipeline...", flush=True)
-    mel_t, feat_t, sd = run_reference_pipeline(
-        ref, hubert_t, mel_len, wav16, f0_frames, dims, x_init
-    )
-    wav_t, voc_sd, h = run_reference_vocoder(ref, dims, mel_t, f0_frames)
+        print("running reference torch pipeline...", flush=True)
+        mel_t, feat_t, sd = run_reference_pipeline(
+            ref, hubert_t, mel_len, wav16, f0_frames, dims, x_init
+        )
+        wav_t, voc_sd, h = run_reference_vocoder(ref, dims, mel_t, f0_frames)
 
-    print("running fish_diffusion_tpu pipeline...", flush=True)
-    mel_j, feat_j = run_tpu_pipeline(
-        hubert_sd, dims["hubert_heads"], sd, mel_len, wav16, f0_frames,
-        dims, x_init,
-    )
-    wav_j = run_tpu_vocoder(voc_sd, h, mel_j, f0_frames)
+        print("running fish_diffusion_tpu pipeline...", flush=True)
+        mel_j, feat_j = run_tpu_pipeline(
+            hubert_sd, dims["hubert_heads"], sd, mel_len, wav16, f0_frames,
+            dims, x_init,
+        )
+        wav_j = run_tpu_vocoder(voc_sd, h, mel_j, f0_frames)
 
-    report["contents_l1"] = float(np.abs(feat_t - feat_j).mean())
-    report["mel_l1"] = float(np.abs(mel_t - mel_j).mean())
-    report["mel_max"] = float(np.abs(mel_t - mel_j).max())
-    audio_metrics(wav_t, wav_j, report)
+        report["contents_l1"] = float(np.abs(feat_t - feat_j).mean())
+        report["mel_l1"] = float(np.abs(mel_t - mel_j).mean())
+        report["mel_max"] = float(np.abs(mel_t - mel_j).max())
+        audio_metrics(wav_t, wav_j, report)
 
     # pass bar: generated-mel mean L1 well under a mel-bin quantization step
     # on the [-5, 0] spec range; F0 within 5 cents (inaudible). The
