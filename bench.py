@@ -34,7 +34,7 @@ Output contract (VERDICT r4 next #1 — the bench must be un-losable):
   Consumers should parse the LAST JSON line on stdout — if the process is
   killed mid-run, the last flushed line still carries every probe that
   finished. The same line is mirrored to ``BENCH_PARTIAL.json``.
-- ``BENCH_BUDGET_S`` (env, default 600) is a wall-clock budget: probes run
+- ``BENCH_BUDGET_S`` (env, default 480) is a wall-clock budget: probes run
   headline-first and any probe not yet *started* when the budget is spent
   is recorded in ``skipped_budget`` instead of silently missing.
 - ``cost_analysis`` compiles (the r4 wall-clock sink) are cached on disk

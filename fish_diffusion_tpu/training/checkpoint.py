@@ -82,6 +82,12 @@ class CheckpointManager:
             "write_s": 0.0,
             "pull_bytes": 0,
         }
+        # Steps THIS manager instance has written. Distinguishes "the final
+        # force-save landed on the step an interval save just wrote this
+        # run" (idempotent skip) from "a previous run left this step in the
+        # directory" (stale — must be overwritten, or fit() would return
+        # claiming durability while the directory holds old params).
+        self._written_steps: set = set()
 
     def _thinned(self, step: int, force: bool) -> bool:
         """True when this step's save should be skipped. Exact-multiple
@@ -105,11 +111,17 @@ class CheckpointManager:
         # (a 4-chip training run restores on a 1-chip inference host)
         if self._thinned(step, force):
             return  # thinned by save_interval_steps: skip the D2H pull too
-        if step in (self._mngr.all_steps() or ()):
-            # already durable: the final force-save after fit() lands on the
-            # same step an interval save just wrote — orbax raises
-            # StepAlreadyExistsError instead of idempotently succeeding.
+        if step in self._written_steps:
+            # already durable FROM THIS RUN: the final force-save after
+            # fit() lands on the same step an interval save just wrote —
+            # orbax raises StepAlreadyExistsError instead of idempotently
+            # succeeding.
             return
+        if step in (self._mngr.all_steps() or ()):
+            # A previous run (same log_dir, not cleaned) left this step in
+            # the directory. Silently keeping it would hand restore() stale
+            # params while reporting this run's step as durable — overwrite.
+            self._mngr.delete(step)
         # Pull leaf-by-leaf instead of one bulk device_get: on a serialized
         # transfer link each leaf is a separate request, so other threads'
         # small reads (validation losses, logged metric scalars) interleave
@@ -126,6 +138,7 @@ class CheckpointManager:
             force=force,
         )
         self._mngr.wait_until_finished()
+        self._written_steps.add(step)
         t2 = time.perf_counter()
         self.stats["saves"] += 1
         self.stats["pull_s"] += t1 - t0
@@ -147,8 +160,10 @@ class CheckpointManager:
             self._do_save(state, metrics, step, force)
             return
         self.wait()  # one in flight max; surfaces prior save errors
-        if self._thinned(step, force):
-            return  # thinned: skip the snapshot copy too
+        if self._thinned(step, force) or step in self._written_steps:
+            # thinned, or already written this run: skip the snapshot copy
+            # (a full donation-safe device clone) too, not just the write.
+            return
         t0 = time.perf_counter()
         snapshot = _snapshot_pytree(state)  # donation-safe device copy
         self.stats["snapshot_s"] += time.perf_counter() - t0

@@ -117,6 +117,23 @@ class TestAsyncCheckpoint:
         assert mngr.stats["saves"] == 1  # duplicate skipped before the pull
         mngr.close()
 
+    def test_stale_step_from_previous_run_is_overwritten(self, tmp_path):
+        """A NEW manager on a dirty directory (previous run's checkpoint at
+        the same step) must overwrite the stale step, not silently keep old
+        params while reporting the save as durable. The within-run duplicate
+        skip (test above) must not extend to steps another run wrote."""
+        prev = CheckpointManager(tmp_path)
+        prev.save(_state(10, 1.0))
+        prev.close()
+
+        mngr = CheckpointManager(tmp_path)  # fresh run, same log_dir
+        mngr.save(_state(10, 99.0), force=True)
+        mngr.wait()
+        restored = mngr.restore(_state(0, 0.0), step=10)
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]), 99.0)
+        assert mngr.stats["saves"] == 1  # actually written, not skipped
+        mngr.close()
+
     def test_save_error_surfaces_on_wait(self, tmp_path):
         mngr = CheckpointManager(tmp_path)
         mngr.save(_state(1, 1.0), metrics={"bad": "not-a-float"})

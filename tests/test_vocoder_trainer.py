@@ -137,12 +137,19 @@ def test_bf16_discriminator_dtype_same_params_finite_step(trainer_cls, tmp_path)
     mesh = make_mesh(
         axis_shapes=(1,), axis_names=("data",), devices=jax.devices()[:1]
     )
+    # Pin BOTH dtypes explicitly: the trainer default is bfloat16, so an
+    # unpinned cfg32 would silently compare bf16 against bf16.
     cfg32 = _tiny_config()
+    cfg32.trainer["discriminator_dtype"] = "float32"
     cfg16 = _tiny_config()
     cfg16.trainer["discriminator_dtype"] = "bfloat16"
 
     t32 = trainer_cls(cfg32, log_dir=str(tmp_path / "f32"), mesh=mesh)
     t16 = trainer_cls(cfg16, log_dir=str(tmp_path / "bf16"), mesh=mesh)
+    import jax.numpy as _jnp
+
+    assert t32.discs.mpd.dtype == _jnp.float32
+    assert t16.discs.mpd.dtype == _jnp.bfloat16
     batch = _loader(n_batches=1)[0]
     s32 = t32.init_state(batch, seed=0)
     s16 = t16.init_state(batch, seed=0)

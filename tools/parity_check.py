@@ -390,10 +390,11 @@ def check_rmvpe(ckpt_path, ref_dir, report, random_init=False):
     from fish_diffusion_tpu.extractors.rmvpe import E2E
 
     ref = _load_reference_rmvpe(ref_dir)
+    # seed BEFORE construction: E2E draws its weights at __init__, so the
+    # random-init parity numbers must not depend on ambient RNG state.
+    torch.manual_seed(0)
     tnet = ref.E2E(4, 1, (2, 2))
-    if random_init:
-        torch.manual_seed(0)
-    else:
+    if not random_init:
         cp = torch.load(ckpt_path, map_location="cpu")
         sd_in = cp.get("model", cp.get("state_dict", cp))
         tnet.load_state_dict(

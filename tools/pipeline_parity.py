@@ -798,10 +798,14 @@ def main():
     # *more* accurate); log-compression then amplifies the near-silent
     # attack/decay frames. The 0.00x-cent F0 deviation shows the audible
     # content is identical.
+    # The F0 metric must be PRESENT to pass: audio_metrics() omits it when
+    # neither extractor finds enough voiced frames, and a missing metric is
+    # "no pitch verification happened", not "pitch agreed".
     report["pass"] = bool(
         report["mel_l1"] <= 5e-3
         and report["final_audio_mel_l1"] <= 5e-2
-        and report.get("final_audio_f0_dev_cents", 0.0) <= 5.0
+        and "final_audio_f0_dev_cents" in report
+        and report["final_audio_f0_dev_cents"] <= 5.0
     )
 
     for k, v in report.items():
