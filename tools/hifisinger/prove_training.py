@@ -82,8 +82,8 @@ def run_vocoder(args):
     spe = args.n_samples // args.batch
     log_dir = Path("logs/prove_vocoder")
     (log_dir / "metrics.jsonl").unlink(missing_ok=True)  # fresh series
-    # a previous run's orbax checkpoints make save(step) raise
-    # StepAlreadyExistsError at the same step count — fresh run, fresh dir
+    # fresh run, fresh dir: the manager would overwrite a previous run's
+    # step anyway, but a proof artifact should not inherit ANY old steps
     shutil.rmtree(log_dir / "checkpoints", ignore_errors=True)
     trainer = VocoderTrainer(cfg, log_dir=str(log_dir), steps_per_epoch=spe)
     # cap to requested steps via a bounded loader
